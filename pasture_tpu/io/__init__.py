@@ -1,0 +1,33 @@
+"""Point-cloud file I/O (parity: pasture-io).
+
+Format backends register themselves with the default
+:class:`~pasture_tpu.io.base.IOFactory` at import, mirroring pasture's
+extension dispatch (reference: pasture-io/src/base/io_factory.rs:22-166):
+``.las``/``.laz`` -> LAS backend, ``.pnts`` -> 3D Tiles backend.  The ASCII
+backend is importable but not in the factory (the reference keeps it out of
+the factory because the format string is mandatory, io_factory.rs:36-40).
+"""
+
+from .base import (  # noqa: F401
+    DEFAULT_FACTORY,
+    IOFactory,
+    Metadata,
+    PointReader,
+    PointWriter,
+    SeekToPoint,
+    open_reader,
+    open_writer,
+    read_all,
+    write_all,
+)
+from .las import LasReader, LasWriter  # noqa: F401
+
+
+def _register_formats() -> None:
+    DEFAULT_FACTORY.register_reader("las", LasReader)
+    DEFAULT_FACTORY.register_reader("laz", LasReader)
+    DEFAULT_FACTORY.register_writer("las", LasWriter)
+    DEFAULT_FACTORY.register_writer("laz", LasWriter)
+
+
+_register_formats()

@@ -1,0 +1,166 @@
+"""LAS/LAZ reader.
+
+TPU-native re-design of pasture's raw LAS read path
+(reference: pasture-io/src/las/raw_readers.rs:175-416 and the LASReader
+facade, las_reader.rs:15-171).  Instead of per-point record parsing, the
+point block is mapped as one numpy structured view of the exact wire schema
+(zero parse — the ``fast_las_parsing.rs`` mmap path is the *default* here)
+and decoded with vectorised column transforms.
+
+LAZ files decode through the native LASzip codec
+(pasture_tpu.native.laszip) chunk-parallel on host threads.
+"""
+
+from __future__ import annotations
+
+import io as _io
+import mmap
+import os
+from pathlib import Path
+from typing import Dict, Optional, Union
+
+import numpy as np
+
+from ...buffers.host import HostPointBuffer
+from ...layout.schema import PointSchema
+from ..base import PointReader, SeekToPoint
+from .conversion import get_default_las_converter
+from .header import LasHeader
+from .layout import point_schema_from_las_format
+from .metadata import LasMetadata
+
+__all__ = ["LasReader", "path_is_compressed_las_file"]
+
+
+def path_is_compressed_las_file(path: Union[str, Path]) -> bool:
+    """Extension-based LAZ detection (reference las_reader.rs:15-26)."""
+    return Path(path).suffix.lower() == ".laz"
+
+
+class LasReader(PointReader, SeekToPoint):
+    """Reader for LAS and LAZ files.
+
+    ``point_schema_matches_memory_layout=True`` makes the default schema the
+    exact binary wire schema (local i32 positions, packed flags) — the
+    fastest path, no decode at all (reference ``LASReader::from_path``
+    flag, las_reader.rs:91).
+    """
+
+    def __init__(self, source: Union[str, Path, bytes, bytearray, _io.BytesIO],
+                 point_schema_matches_memory_layout: bool = False,
+                 compressed: Optional[bool] = None) -> None:
+        self._mmap = None
+        self._file = None
+        if isinstance(source, (str, Path)):
+            if compressed is None:
+                compressed = path_is_compressed_las_file(source)
+            self._file = open(source, "rb")
+            try:
+                self._mmap = mmap.mmap(self._file.fileno(), 0,
+                                       access=mmap.ACCESS_READ)
+                buf = memoryview(self._mmap)
+            except (ValueError, OSError):  # empty file etc.
+                buf = self._file.read()
+        elif isinstance(source, _io.BytesIO):
+            buf = source.getbuffer()
+        else:
+            buf = memoryview(source)
+        self._buf = buf
+
+        self.header = LasHeader.parse(buf)
+        if compressed is None:
+            compressed = self.header.is_compressed
+        self.metadata = LasMetadata(self.header)
+
+        fmt = self.header.point_format
+        extra_attrs = self.metadata.extra_bytes_attributes()
+        self._exact_schema = point_schema_from_las_format(
+            fmt, exact_binary_representation=True,
+            extra_bytes_attributes=extra_attrs)
+        if self._exact_schema.point_size != self.header.point_record_length:
+            raise ValueError(
+                f"wire schema size {self._exact_schema.point_size} != declared "
+                f"record length {self.header.point_record_length}")
+        self._default_schema = (
+            self._exact_schema if point_schema_matches_memory_layout
+            else point_schema_from_las_format(
+                fmt, exact_binary_representation=False,
+                extra_bytes_attributes=extra_attrs))
+
+        n = self.header.point_count
+        if compressed:
+            from ...native.laszip import LazDecompressor
+            self._records = None
+            self._laz = LazDecompressor(self._buf, self.header)
+        else:
+            self._laz = None
+            # zero-copy structured view over the point block
+            self._records = np.frombuffer(
+                self._buf, dtype=self._exact_schema.to_numpy_dtype(),
+                count=n, offset=self.header.offset_to_point_data)
+        self._cursor = 0
+        self._converters: Dict[PointSchema, object] = {}
+
+    # ---- PointReader ----------------------------------------------------------
+    def get_metadata(self) -> LasMetadata:
+        return self.metadata
+
+    def las_metadata(self) -> LasMetadata:
+        return self.metadata
+
+    def get_default_point_schema(self) -> PointSchema:
+        return self._default_schema
+
+    def remaining_points(self) -> int:
+        """Reference ``LASReaderBase::remaining_points``."""
+        return self.header.point_count - self._cursor
+
+    def read(self, count: int, schema: Optional[PointSchema] = None
+             ) -> HostPointBuffer:
+        if schema is None:
+            schema = self._default_schema
+        n = min(count, self.remaining_points())
+        start, stop = self._cursor, self._cursor + n
+        self._cursor = stop
+
+        if self._laz is not None:
+            raw = self._laz.decompress_points(start, n)
+            rec = np.frombuffer(raw, dtype=self._exact_schema.to_numpy_dtype(),
+                                count=n)
+        else:
+            rec = self._records[start:stop]
+
+        columns = {m.name: rec[m.name] for m in self._exact_schema.members}
+        if schema == self._exact_schema:
+            cols = {k: np.ascontiguousarray(v) for k, v in columns.items()}
+            return HostPointBuffer(self._exact_schema, cols, validate=False)
+
+        conv = self._converters.get(schema)
+        if conv is None:
+            conv = get_default_las_converter(self._exact_schema, schema,
+                                             self.header)
+            self._converters[schema] = conv
+        out_cols = conv.convert(columns)
+        return HostPointBuffer(schema, out_cols, validate=False)
+
+    # ---- SeekToPoint ----------------------------------------------------------
+    def seek_point(self, index: int) -> int:
+        """Point-granular seek (reference raw_readers.rs:394-416)."""
+        self._cursor = max(0, min(index, self.header.point_count))
+        return self._cursor
+
+    def point_index(self) -> int:
+        return self._cursor
+
+    def point_count(self) -> int:
+        return self.header.point_count
+
+    def close(self) -> None:
+        self._records = None
+        self._buf = None
+        if self._mmap is not None:
+            self._mmap.close()
+            self._mmap = None
+        if self._file is not None:
+            self._file.close()
+            self._file = None
