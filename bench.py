@@ -1,0 +1,112 @@
+"""Headline benchmark: coordinate-transform + voxel-grid throughput.
+
+Runs the flagship device pipeline (LAS i32 decode -> rigid transform ->
+Morton-sorted voxel downsample) on one chip and prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``.
+
+Baseline: the driver-set north star of 1 Gpoint/s/chip on TPU v5e
+(/root/repo/BASELINE.json; the reference publishes no numbers — BASELINE.md).
+``vs_baseline`` is the fraction of that target achieved.
+
+Timing methodology: on the tunneled TPU backend ``block_until_ready`` does
+not actually wait for device compute, and a device->host fetch has a fixed
+RPC overhead.  The pipeline therefore runs K times *inside one jitted
+``lax.fori_loop``* with a data dependence between iterations, ends in a
+scalar fetch, and the per-iteration time is the difference quotient between
+a K1-iteration and a K2-iteration program — constant overhead cancels.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pasture_tpu.buffers.device import PointBatch
+from pasture_tpu.layout import attributes as att
+from pasture_tpu.layout.schema import PointSchema
+from pasture_tpu.ops import affine_transform, decode_las_positions, voxel_downsample
+
+N = 1 << 22  # 4M points
+LEAF = 0.5
+TARGET_POINTS_PER_S = 1e9
+K1, K2 = 2, 10
+
+
+def make_batch(n: int) -> PointBatch:
+    rng = np.random.default_rng(7)
+    local = rng.integers(0, 200_000, size=(n, 3), dtype=np.int32)
+    intensity = rng.integers(0, 65536, size=n, dtype=np.uint16)
+    cls = rng.integers(0, 32, size=n, dtype=np.uint8)
+    schema = PointSchema.from_attributes(
+        [att.POSITION_3D, att.INTENSITY, att.CLASSIFICATION])
+    data = {
+        "LASLocalPosition": jnp.asarray(local),
+        att.INTENSITY.name: jnp.asarray(intensity),
+        att.CLASSIFICATION.name: jnp.asarray(cls),
+    }
+    return PointBatch(data, jnp.asarray(n, jnp.int32), schema, {})
+
+
+def pipeline(batch: PointBatch, shift: jnp.ndarray) -> jnp.ndarray:
+    """One transform+voxelize step; returns the voxel count (scalar)."""
+    scale = jnp.asarray([0.001, 0.001, 0.001], jnp.float32)
+    offset = jnp.asarray([0.0, 0.0, 0.0], jnp.float32)
+    pos = decode_las_positions(batch.data["LASLocalPosition"], scale, offset)
+    c, s = 0.9689124, 0.24740396  # cos/sin 0.25 rad
+    rot = jnp.asarray([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]], jnp.float32)
+    t = jnp.asarray([10.0, -5.0, 2.0], jnp.float32) + shift
+    pos = affine_transform(pos, rot, t)
+    data = dict(batch.data)
+    del data["LASLocalPosition"]
+    data[att.POSITION_3D.name] = pos
+    b = PointBatch(data, batch.count, batch.schema, batch.meta)
+    out = voxel_downsample(b, LEAF, semantics="floor")
+    return out.count
+
+
+def make_looped(k: int):
+    @jax.jit
+    def run(batch: PointBatch) -> jnp.ndarray:
+        def body(i, carry):
+            # carry feeds the transform so iterations can't be elided/fused
+            shift = (carry.astype(jnp.float32) % 7.0) * 1e-6
+            return carry + pipeline(batch, shift)
+
+        return jax.lax.fori_loop(0, k, body, jnp.asarray(0, jnp.int32))
+
+    return run
+
+
+def timed_fetch(fn, batch, repeats: int = 3) -> float:
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        v = int(fn(batch))  # scalar device->host fetch forces completion
+        best = min(best, time.perf_counter() - t0)
+        assert v > 0
+    return best
+
+
+def main() -> None:
+    batch = make_batch(N)
+    run1, run2 = make_looped(K1), make_looped(K2)
+    int(run1(batch))  # compile + first-fetch path setup
+    int(run2(batch))
+
+    t1 = timed_fetch(run1, batch)
+    t2 = timed_fetch(run2, batch)
+    per_iter = max((t2 - t1) / (K2 - K1), 1e-9)
+
+    pps = N / per_iter
+    print(json.dumps({
+        "metric": "transform_voxelize_throughput",
+        "value": round(pps / 1e6, 2),
+        "unit": "Mpoints/s/chip",
+        "vs_baseline": round(pps / TARGET_POINTS_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,180 @@
+"""Device ops tests (CPU-backend jax): masked/segmented reductions, sorting,
+voxel downsample vs a naive numpy oracle with pasture semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pasture_tpu.buffers.device import PointBatch
+from pasture_tpu.buffers.host import HostPointBuffer
+from pasture_tpu.layout import attributes as att
+from pasture_tpu.layout.schema import PointSchema
+from pasture_tpu.ops import (
+    affine_transform,
+    batch_bounds,
+    decode_las_positions,
+    encode_las_positions,
+    masked_minmax,
+    morton_sort,
+    segment_mean,
+    segment_mode,
+    voxel_downsample,
+    voxel_indices,
+)
+
+
+def test_masked_minmax_ignores_padding_and_nan(rng):
+    x = rng.normal(size=(16, 3))
+    x[3, 1] = np.nan
+    x[12:] = 1e12  # padding rows
+    mask = np.arange(16) < 12
+    mn, mx = jax.jit(masked_minmax)(jnp.asarray(x), jnp.asarray(mask))
+    valid = x[:12]
+    np.testing.assert_allclose(np.asarray(mn), np.nanmin(valid, axis=0))
+    np.testing.assert_allclose(np.asarray(mx), np.nanmax(valid, axis=0))
+
+
+def test_segment_mean():
+    x = jnp.asarray([1.0, 2.0, 3.0, 10.0, 20.0, 0.0])
+    seg = jnp.asarray([0, 0, 0, 1, 1, 2])
+    out = segment_mean(x, seg, 4)
+    np.testing.assert_allclose(np.asarray(out[:3]), [2.0, 15.0, 0.0])
+
+
+def test_segment_mode_majority_and_tie_break():
+    vals = jnp.asarray([5, 5, 7, 7, 7, 2, 9, 9, 3, 3], jnp.int32)
+    seg = jnp.asarray([0, 0, 0, 0, 0, 1, 1, 1, 1, 1], jnp.int32)
+    out = segment_mode(vals, seg, 3)
+    assert int(out[0]) == 7       # clear majority
+    assert int(out[1]) == 3       # 9 and 3 tie at 2 -> smallest value wins
+
+
+def test_las_position_roundtrip():
+    scale = jnp.asarray([0.001, 0.001, 0.001], jnp.float64)
+    offset = jnp.asarray([100.0, 200.0, -50.0], jnp.float64)
+    local = jnp.asarray(np.random.default_rng(0).integers(
+        -10**6, 10**6, (100, 3)), jnp.int32)
+    world = decode_las_positions(local, scale, offset, dtype=jnp.float64)
+    # rounding mode: exact bit round trip
+    back = encode_las_positions(world, scale, offset, rounding="round")
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(local))
+    # parity (truncating) mode: within one LSB, like the reference
+    back_t = encode_las_positions(world, scale, offset)
+    assert int(np.abs(np.asarray(back_t) - np.asarray(local)).max()) <= 1
+
+
+def test_decode_with_anchor_is_exact_in_f32():
+    # large UTM-style offsets: anchored decode stays exact where the
+    # unanchored f32 decode loses millimetres
+    scale = jnp.asarray([0.001] * 3, jnp.float64)
+    offset = jnp.asarray([500000.0, 4_000_000.0, 0.0], jnp.float64)
+    local = jnp.asarray([[1_000_000, 2_000_000, 3000],
+                         [1_000_001, 2_000_001, 3001]], jnp.int32)
+    anchor = jnp.asarray([1_000_000, 2_000_000, 3000], jnp.int32)
+    rel = decode_las_positions(local, scale, offset, anchor=anchor)
+    np.testing.assert_allclose(np.asarray(rel),
+                               [[0, 0, 0], [0.001, 0.001, 0.001]], atol=1e-9)
+
+
+def test_affine_transform_matches_numpy(rng):
+    p = rng.normal(size=(50, 3)).astype(np.float32)
+    m = rng.normal(size=(3, 3)).astype(np.float32)
+    t = rng.normal(size=3).astype(np.float32)
+    out = affine_transform(jnp.asarray(p), jnp.asarray(m), jnp.asarray(t))
+    np.testing.assert_allclose(np.asarray(out), p @ m.T + t, rtol=1e-5)
+
+
+def _make_batch(rng, n=100, cap=128):
+    schema = PointSchema.from_attributes([
+        att.POSITION_3D, att.INTENSITY, att.CLASSIFICATION, att.GPS_TIME])
+    cols = {
+        att.POSITION_3D.name: rng.uniform(0, 10, (n, 3)),
+        att.INTENSITY.name: rng.integers(0, 1000, n).astype(np.uint16),
+        att.CLASSIFICATION.name: rng.integers(0, 4, n).astype(np.uint8),
+        att.GPS_TIME.name: rng.uniform(-5, 5, n),
+    }
+    host = HostPointBuffer.from_columns(schema, cols)
+    from pasture_tpu.layout.dtypes import DevicePolicy
+    return HostPointBuffer.from_columns(schema, cols), PointBatch.from_host(
+        host, policy=DevicePolicy.EXACT, capacity=cap)
+
+
+def _oracle_voxels(cols, leaf, semantics="nearest"):
+    """Naive per-point voxel assignment + per-policy reduction."""
+    pos = cols[att.POSITION_3D.name]
+    bmin = pos.min(axis=0)
+    u = (pos - bmin) / leaf
+    if semantics == "nearest":
+        idx = np.floor(u - 0.5).astype(np.int64)
+    else:
+        idx = np.floor(u).astype(np.int64)
+    idx = np.maximum(idx, 0)
+    voxels = {}
+    for i, key in enumerate(map(tuple, idx)):
+        voxels.setdefault(key, []).append(i)
+    out = {}
+    for key, members in voxels.items():
+        m = np.asarray(members)
+        intensity = np.trunc(
+            cols[att.INTENSITY.name][m].astype(np.float64).mean())
+        cls_vals, cls_counts = np.unique(cols[att.CLASSIFICATION.name][m],
+                                         return_counts=True)
+        mode = cls_vals[np.argmax(cls_counts == cls_counts.max())]
+        best = cls_vals[cls_counts == cls_counts.max()].min()
+        gps = max(0.0, cols[att.GPS_TIME.name][m].max())
+        out[key] = (pos[m].mean(axis=0), intensity, best, gps)
+    return out
+
+
+def test_voxel_downsample_matches_oracle(rng):
+    host, batch = _make_batch(rng)
+    leaf = 1.0
+    result = jax.jit(lambda b: voxel_downsample(b, 1.0))(batch)
+    n_vox = int(result.count)
+    got = result.to_host()
+
+    oracle = _oracle_voxels(host.columns, leaf)
+    assert n_vox == len(oracle)
+
+    # match voxels by rounded centroid position
+    got_pos = got.get(att.POSITION_3D.name)
+    got_int = got.get(att.INTENSITY.name)
+    got_cls = got.get(att.CLASSIFICATION.name)
+    got_gps = got.get(att.GPS_TIME.name)
+    want = list(oracle.values())
+    want_pos = np.stack([v[0] for v in want])
+    for i in range(n_vox):
+        d = np.linalg.norm(want_pos - got_pos[i][None, :], axis=1)
+        j = int(np.argmin(d))
+        # device means accumulate in f32; centroids agree to ~1e-5
+        assert d[j] < 1e-4, f"unexpected voxel centroid {got_pos[i]}"
+        wpos, wint, wcls, wgps = want[j]
+        assert got_int[i] == wint
+        assert got_cls[i] == wcls
+        np.testing.assert_allclose(got_gps[i], wgps, atol=1e-12)
+
+
+def test_voxel_downsample_reduces_grid(rng):
+    """The reference doc example: 100x100 planar grid, leaf 1.5 ->
+    less than half the points (voxel_grid.rs:86-108)."""
+    n = 100 * 100
+    ii, jj = np.meshgrid(np.arange(100.0), np.arange(100.0))
+    pos = np.stack([np.zeros(n), ii.ravel(), jj.ravel()], axis=1)
+    schema = PointSchema.from_attributes([att.POSITION_3D])
+    host = HostPointBuffer.from_columns(schema, {att.POSITION_3D.name: pos})
+    from pasture_tpu.layout.dtypes import DevicePolicy
+    batch = PointBatch.from_host(host, policy=DevicePolicy.EXACT)
+    out = voxel_downsample(batch, 1.5)
+    assert int(out.count) < n / 2
+
+
+def test_morton_sort_groups_cells(rng):
+    host, batch = _make_batch(rng, n=64, cap=64)
+    pos = batch.data[att.POSITION_3D.name]
+    mask = batch.valid_mask()
+    bmin, _ = batch_bounds(pos, mask)
+    cells = voxel_indices(pos, mask, 2.0, bmin)
+    sorted_batch, (hi, lo), perm = morton_sort(batch, cells)
+    keys = np.asarray(hi).astype(np.uint64) << np.uint64(32) | np.asarray(lo)
+    assert np.all(keys[:-1] <= keys[1:])
