@@ -20,7 +20,9 @@ from .base import (  # noqa: F401
     read_all,
     write_all,
 )
+from .ascii import AsciiReader, AsciiWriter  # noqa: F401
 from .las import LasReader, LasWriter  # noqa: F401
+from .tiles3d import PntsReader, PntsWriter  # noqa: F401
 
 
 def _register_formats() -> None:
@@ -28,6 +30,8 @@ def _register_formats() -> None:
     DEFAULT_FACTORY.register_reader("laz", LasReader)
     DEFAULT_FACTORY.register_writer("las", LasWriter)
     DEFAULT_FACTORY.register_writer("laz", LasWriter)
+    DEFAULT_FACTORY.register_reader("pnts", PntsReader)
+    DEFAULT_FACTORY.register_writer("pnts", PntsWriter)
 
 
 _register_formats()

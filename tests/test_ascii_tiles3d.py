@@ -1,0 +1,190 @@
+"""ASCII + 3D Tiles I/O tests (parity scenarios: ascii raw_reader.rs tests,
+pnts_reader.rs:416 / pnts_writer.rs:452-507, tileset round trips)."""
+
+import io
+import json
+
+import numpy as np
+import pytest
+
+from pasture_tpu.io.ascii import AsciiReader, AsciiWriter, schema_from_format
+from pasture_tpu.io.tiles3d import (
+    BoundingVolume,
+    PntsReader,
+    PntsReadPositionsMode,
+    PntsWriter,
+    Refinement,
+    Tile,
+    Tileset,
+    TilesetBuilder,
+    read_tileset,
+    write_tileset,
+)
+from pasture_tpu.buffers.host import HostPointBuffer
+from pasture_tpu.layout import attributes as att
+from pasture_tpu.layout import dtypes as dt
+from pasture_tpu.layout.schema import PointSchema
+
+I = np.arange(10)
+
+
+# ---- ASCII ---------------------------------------------------------------------
+
+def test_ascii_read_all_attributes(reference_test_data):
+    """Reference test_read (raw_reader.rs:357-470): 17-literal format."""
+    r = AsciiReader(f"{reference_test_data}/10_points_ascii_all_attributes.txt",
+                    "xyzirncuRGBtpedaI", ", ")
+    buf = r.read_all()
+    np.testing.assert_array_equal(
+        buf.get(att.POSITION_3D.name), np.stack([I] * 3, 1).astype(float))
+    np.testing.assert_array_equal(buf.get(att.INTENSITY.name), I)
+    np.testing.assert_array_equal(buf.get(att.GPS_TIME.name), I.astype(float))
+    np.testing.assert_array_equal(buf.get(att.SCAN_ANGLE_RANK.name),
+                                  -I.astype(np.int8))
+    np.testing.assert_array_equal(buf.get(att.NIR.name), I)
+    np.testing.assert_array_equal(
+        buf.get(att.COLOR_RGB.name), np.stack([I, I, I], 1))
+
+
+def test_ascii_read_with_skips(reference_test_data):
+    r = AsciiReader(f"{reference_test_data}/10_points_ascii.txt",
+                    "xyzsssss", ", ")
+    buf = r.read_all()
+    assert buf.schema.names == (att.POSITION_3D.name,)
+    np.testing.assert_array_equal(
+        buf.get(att.POSITION_3D.name), np.stack([I] * 3, 1).astype(float))
+
+
+def test_ascii_errors(reference_test_data):
+    with pytest.raises(ValueError, match="can't interpret format literal"):
+        AsciiReader(io.StringIO(""), "xyzQ")
+    with pytest.raises(ValueError, match="expected more items"):
+        AsciiReader(io.StringIO("1.0, 2.0\n"), "xyz").read_all()
+    path = f"{reference_test_data}/10_points_ascii_parsing_errors.txt"
+    with pytest.raises(ValueError, match="ParseError at parsing Intensity"):
+        AsciiReader(path, "sssi", ", ").read_all()
+    with pytest.raises(ValueError, match="expected bool"):
+        AsciiReader(path, "sssse", ", ").read_all()
+    with pytest.raises(ValueError,
+                       match="ParseError at parsing Position3D"):
+        AsciiReader(path, "x", ", ").read_all()
+
+
+def test_ascii_write_read_roundtrip(tmp_path, rng):
+    fmt = "xyzic"
+    schema = schema_from_format(fmt)
+    pos = np.round(rng.uniform(-10, 10, (20, 3)), 5)
+    inten = rng.integers(0, 1000, 20).astype(np.uint16)
+    cls = rng.integers(0, 32, 20).astype(np.uint8)
+    buf = HostPointBuffer.from_columns(schema, {
+        att.POSITION_3D.name: pos, att.INTENSITY.name: inten,
+        att.CLASSIFICATION.name: cls})
+    p = tmp_path / "pts.txt"
+    with AsciiWriter(p, fmt) as w:
+        w.write(buf)
+    back = AsciiReader(p, fmt).read_all()
+    np.testing.assert_allclose(back.get(att.POSITION_3D.name), pos,
+                               atol=1e-5)
+    np.testing.assert_array_equal(back.get(att.INTENSITY.name), inten)
+    np.testing.assert_array_equal(back.get(att.CLASSIFICATION.name), cls)
+
+
+# ---- PNTS ----------------------------------------------------------------------
+
+def test_pnts_read_reference_fixture(reference_test_data):
+    r = PntsReader(f"{reference_test_data}/points.pnts")
+    n = r.get_metadata().number_of_points()
+    buf = r.read_all()
+    assert len(buf) == n > 0
+    pos_member = buf.schema.get(att.POSITION_3D.name)
+    assert pos_member is not None and pos_member.dtype.name == "Vec3f32"
+
+
+def test_pnts_rtc_center_modes(reference_test_data, tmp_path):
+    schema = PointSchema.from_attributes_packed(
+        [att.POSITION_3D.with_dtype(dt.VEC3F32)])
+    pos = np.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]], np.float32)
+    buf = HostPointBuffer.from_columns(schema, {att.POSITION_3D.name: pos})
+    p = tmp_path / "rtc.pnts"
+    with PntsWriter(p, schema, rtc_center=[100.0, 200.0, 300.0]) as w:
+        w.write(buf)
+
+    # writer stores positions relative to RTC_CENTER; absolute read adds it
+    # back, relative read leaves the stored values (pnts_reader.rs:30-39)
+    absolute = PntsReader(p).read_all()
+    np.testing.assert_allclose(absolute.get(att.POSITION_3D.name), pos,
+                               atol=1e-4)
+    relative = PntsReader(
+        p, PntsReadPositionsMode.RELATIVE_TO_CENTER).read_all()
+    np.testing.assert_allclose(
+        relative.get(att.POSITION_3D.name),
+        pos - np.array([100, 200, 300], np.float32), atol=1e-4)
+
+
+def test_pnts_write_read_roundtrip_drops_unsupported(tmp_path, rng):
+    """Unsupported attributes are silently dropped
+    (reference pnts_writer.rs:104-155)."""
+    schema = PointSchema.from_attributes(
+        [att.POSITION_3D, att.COLOR_RGB, att.INTENSITY])
+    pos = rng.uniform(-5, 5, (30, 3))
+    color = rng.integers(0, 256, (30, 3)).astype(np.uint16)
+    inten = rng.integers(0, 1000, 30).astype(np.uint16)
+    buf = HostPointBuffer.from_columns(schema, {
+        att.POSITION_3D.name: pos, att.COLOR_RGB.name: color,
+        att.INTENSITY.name: inten})
+    p = tmp_path / "t.pnts"
+    with PntsWriter(p, schema) as w:
+        w.write(buf)
+    back = PntsReader(p).read_all()
+    assert set(back.schema.names) == {att.POSITION_3D.name,
+                                      att.COLOR_RGB.name}
+    np.testing.assert_allclose(back.get(att.POSITION_3D.name),
+                               pos.astype(np.float32), rtol=1e-6)
+    # color converted u16 -> u8 wire dtype (Rust `as` wrap)
+    np.testing.assert_array_equal(back.get(att.COLOR_RGB.name),
+                                  color.astype(np.uint8))
+
+
+# ---- tileset -------------------------------------------------------------------
+
+def test_tileset_read_reference_fixture(reference_test_data):
+    ts = read_tileset(f"{reference_test_data}/tileset.json")
+    assert ts.root is not None
+    assert ts.geometric_error >= 0
+
+
+def test_tileset_roundtrip(tmp_path):
+    child = (TilesetBuilder()
+             .geometric_error(1.0)
+             .bounding_volume(BoundingVolume.sphere((1, 2, 3), 4.0))
+             .content("points.pnts")
+             .build())
+    root = (TilesetBuilder()
+            .geometric_error(10.0)
+            .refinement(Refinement.ADD)
+            .bounding_volume(BoundingVolume.region(0, 0, 1, 1, 0, 100))
+            .transform(np.eye(4))
+            .add_child(child)
+            .build())
+    ts = Tileset(root=root, geometric_error=10.0, tileset_version="x1")
+    p = tmp_path / "tileset.json"
+    write_tileset(ts, p)
+    back = read_tileset(p)
+    assert back.tileset_version == "x1"
+    assert back.root.refine is Refinement.ADD
+    assert len(back.root.children) == 1
+    assert back.root.children[0].content_uri == "points.pnts"
+    assert back.root.children[0].bounding_volume.kind == "sphere"
+    np.testing.assert_array_equal(back.root.transform, np.eye(4))
+
+
+# ---- info CLI ------------------------------------------------------------------
+
+def test_info_cli(reference_test_data, capsys):
+    from pasture_tpu.tools.info import main
+    rc = main([f"{reference_test_data}/10_points_format_3.las", "--detailed"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Points: 10" in out
+    assert "Position3D" in out
+    assert "min=[0.0, 0.0, 0.0] max=[9.0, 9.0, 9.0]" in out
