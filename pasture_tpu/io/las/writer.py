@@ -109,13 +109,19 @@ class LasWriter(PointWriter):
 
         self._compressed = compressed
         if compressed:
-            from ...native.laszip import LazCompressor
+            from ...native.laszip import (LASZIP_RECORD_ID, LASZIP_USER_ID,
+                                          LazCompressor, build_laszip_vlr)
+            if self.header.find_vlr(LASZIP_USER_ID, LASZIP_RECORD_ID) is None:
+                self.header.vlrs.append(build_laszip_vlr(
+                    self.header.point_format.number,
+                    self.header.point_format.extra_bytes))
+            self.header.is_compressed = True
+            self._stream.write(self.header.serialize())
             self._laz = LazCompressor(self._stream, self.header)
         else:
             self._laz = None
             # reserve space for the header block; rewritten on flush
-            self._header_bytes = self.header.serialize()
-            self._stream.write(self._header_bytes)
+            self._stream.write(self.header.serialize())
 
     # ---- PointWriter ----------------------------------------------------------
     def get_default_point_schema(self) -> PointSchema:

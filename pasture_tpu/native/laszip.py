@@ -2,13 +2,22 @@
 
 Replaces the reference's pure-Rust ``laz`` crate (pasture-io uses
 ``laz::LasZipDecompressor``/``Compressor``, raw_readers.rs:418-660).  The
-entropy codec is inherently sequential per chunk, so the native C++ extension
-decodes LAZ chunks in parallel on host threads; this module is the Python
-driver and the chunk-table/VLR logic.
+entropy codec is inherently sequential per chunk, so the native C++
+extension (src/laszip.cpp, built on first use) decodes LAZ chunks in
+parallel on host threads; this module is the ctypes driver plus the
+chunk-table/VLR bookkeeping.
+
+Currently implements LASzip compressor 2 ("pointwise chunked") with items
+POINT10 v2 / GPSTIME11 v2 / RGB12 v2 / WAVEPACKET13 v1 / BYTE v2 — i.e.
+LAS point formats 0-5 (+extra bytes).  The layered compressor 3 (formats
+6-8) is not implemented yet; the reference itself rejects LAZ formats 9/10
+(raw_readers.rs:451-455).
 """
 
 from __future__ import annotations
 
+import ctypes
+import os
 import struct
 from typing import List, Optional, Tuple
 
@@ -17,10 +26,19 @@ import numpy as np
 from ..io.las.header import LasHeader, LasVlr
 
 __all__ = ["LazVlrRecord", "LazDecompressor", "LazCompressor",
-           "LASZIP_USER_ID", "LASZIP_RECORD_ID"]
+           "LASZIP_USER_ID", "LASZIP_RECORD_ID", "laszip_items_for_format",
+           "build_laszip_vlr"]
 
 LASZIP_USER_ID = "laszip encoded"
 LASZIP_RECORD_ID = 22204
+
+_ITEM_BYTE = 0
+_ITEM_POINT10 = 6
+_ITEM_GPSTIME11 = 7
+_ITEM_RGB12 = 8
+_ITEM_WAVEPACKET13 = 9
+
+_DEFAULT_CHUNK = 50_000
 
 
 class LazVlrRecord:
@@ -45,12 +63,74 @@ class LazVlrRecord:
         return cls(vlr.data)
 
 
-def _native():
+def laszip_items_for_format(point_format: int, extra_bytes: int
+                            ) -> List[Tuple[int, int, int]]:
+    """Item list for a point format (pointwise-chunked scheme, formats 0-5)."""
+    if point_format > 5:
+        raise NotImplementedError(
+            f"LAZ write for point format {point_format} requires the layered "
+            f"compressor (not implemented)")
+    items = [(_ITEM_POINT10, 20, 2)]
+    if point_format in (1, 3, 4, 5):
+        items.append((_ITEM_GPSTIME11, 8, 2))
+    if point_format in (2, 3, 5):
+        items.append((_ITEM_RGB12, 6, 2))
+    if point_format in (4, 5):
+        items.append((_ITEM_WAVEPACKET13, 29, 1))
+    if extra_bytes:
+        items.append((_ITEM_BYTE, extra_bytes, 2))
+    return items
+
+
+def build_laszip_vlr(point_format: int, extra_bytes: int,
+                     chunk_size: int = _DEFAULT_CHUNK) -> LasVlr:
+    """The LASzip VLR announcing compressor 2 + the item list."""
+    items = laszip_items_for_format(point_format, extra_bytes)
+    payload = struct.pack("<HHBBHIIqqH", 2, 0, 2, 4, 1, 0, chunk_size,
+                          0, -1, len(items))
+    for t, s, v in items:
+        payload += struct.pack("<HHH", t, s, v)
+    return LasVlr(LASZIP_USER_ID, LASZIP_RECORD_ID,
+                  "by pasture_tpu of LAStools-format LAZ", payload)
+
+
+_lib = None
+
+
+def _native(required: bool = False):
+    global _lib
+    if _lib is not None:
+        return _lib
     try:
-        from . import _laszip  # compiled extension
-        return _laszip
-    except ImportError:
+        from .build import ensure_laszip
+        so = ensure_laszip()
+    except RuntimeError:
+        if required:
+            raise
         return None
+    lib = ctypes.CDLL(str(so))
+    lib.laz_decompress.restype = ctypes.c_int
+    lib.laz_decompress.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.POINTER(ctypes.c_uint16),
+        ctypes.c_uint32, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_char_p,
+        ctypes.c_int]
+    lib.laz_compress.restype = ctypes.c_int
+    lib.laz_compress.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_uint16), ctypes.c_uint32,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_int]
+    lib.laz_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+    _lib = lib
+    return lib
+
+
+def _pack_items(items) -> "ctypes.Array":
+    flat = []
+    for t, s, v in items:
+        flat += [t, s, v]
+    return (ctypes.c_uint16 * len(flat))(*flat)
 
 
 class LazDecompressor:
@@ -59,35 +139,75 @@ class LazDecompressor:
     def __init__(self, buf, header: LasHeader) -> None:
         self.header = header
         self.vlr = LazVlrRecord.from_header(header)
-        native = _native()
-        if native is None:
+        if self.vlr.compressor not in (2,):
             raise NotImplementedError(
-                "LAZ decompression requires the native laszip extension "
-                "(build with `python setup.py build_ext --inplace`)")
-        self._impl = native.Decompressor(
-            bytes(buf), header.offset_to_point_data,
-            header.point_record_length, header.point_count,
-            header.point_format.number, self.vlr.chunk_size,
-            self.vlr.compressor)
+                f"LASzip compressor {self.vlr.compressor} not supported yet "
+                f"(point formats 6+ use the layered compressor)")
+        lib = _native(required=True)
+        self._lib = lib
+        self._data = bytes(buf)
+        self._items = _pack_items(self.vlr.items)
+        self._nitems = len(self.vlr.items)
 
     def decompress_points(self, start: int, count: int) -> bytes:
-        return self._impl.decompress(start, count)
+        h = self.header
+        out = ctypes.create_string_buffer(count * h.point_record_length)
+        rc = self._lib.laz_decompress(
+            self._data, len(self._data), h.offset_to_point_data,
+            h.point_count, h.point_record_length, self.vlr.chunk_size,
+            self._items, self._nitems, start, count, out,
+            os.cpu_count() or 1)
+        if rc != 0:
+            raise ValueError(f"LAZ decompression failed (code {rc})")
+        return out.raw
 
 
 class LazCompressor:
-    """Compresses raw wire records into a LAZ stream."""
+    """Compresses raw wire records into a LAZ point-data block.
 
-    def __init__(self, stream, header: LasHeader) -> None:
-        native = _native()
-        if native is None:
-            raise NotImplementedError(
-                "LAZ compression requires the native laszip extension")
+    Buffers records and writes everything on ``done()`` (chunk table needs
+    all chunk sizes; same strategy as the reference's write-on-flush)."""
+
+    def __init__(self, stream, header: LasHeader,
+                 chunk_size: int = _DEFAULT_CHUNK) -> None:
+        _native(required=True)
         self.header = header
         self.stream = stream
-        raise NotImplementedError("LAZ write path lands with the native codec")
+        self.chunk_size = chunk_size
+        self.items = laszip_items_for_format(
+            header.point_format.number, header.point_format.extra_bytes)
+        self._records = bytearray()
+        self._start_pos: Optional[int] = None
+        self._done = False
+        # header (incl. the laszip VLR) must already be written by the
+        # caller; we record where the point block starts
+        self._start_pos = stream.tell()
 
     def compress_points(self, records: bytes) -> None:
-        raise NotImplementedError
+        self._records += records
 
     def done(self) -> None:
-        raise NotImplementedError
+        if self._done:
+            return
+        self._done = True
+        lib = _native(required=True)
+        n = len(self._records) // self.header.point_record_length
+        items = _pack_items(self.items)
+        out_ptr = ctypes.POINTER(ctypes.c_uint8)()
+        out_len = ctypes.c_uint64()
+        rc = lib.laz_compress(
+            bytes(self._records), n, self.header.point_record_length,
+            self.chunk_size, items, len(self.items),
+            ctypes.byref(out_ptr), ctypes.byref(out_len),
+            os.cpu_count() or 1)
+        if rc != 0:
+            raise ValueError(f"LAZ compression failed (code {rc})")
+        try:
+            blob = ctypes.string_at(out_ptr, out_len.value)
+        finally:
+            lib.laz_free(out_ptr)
+        # patch the relative chunk-table offset to an absolute file offset
+        rel = struct.unpack_from("<q", blob, 0)[0]
+        absolute = self._start_pos + rel
+        self.stream.write(struct.pack("<q", absolute))
+        self.stream.write(blob[8:])

@@ -1,0 +1,102 @@
+"""LAZ (LASzip) codec tests.
+
+Golden decode of the reference's .laz fixtures against the corresponding
+.las files (bit-exact, like the reference's LAS==LAZ equivalence test
+las_io.rs:353), write round trips, multi-chunk files and chunked seeks.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from pasture_tpu.io.las import LasReader, LasWriter
+from pasture_tpu.io.las.header import LasPointFormat
+from pasture_tpu.io.las.layout import point_schema_from_las_format
+from pasture_tpu.buffers.host import HostPointBuffer
+from pasture_tpu.layout import attributes as att
+
+pytestmark = pytest.mark.skipif(
+    __import__("pasture_tpu.native.laszip", fromlist=["_native"])._native()
+    is None,
+    reason="native laszip codec unavailable")
+
+
+@pytest.mark.parametrize("fmt", range(6))
+def test_laz_decode_matches_las(reference_test_data, fmt):
+    las = LasReader(f"{reference_test_data}/10_points_format_{fmt}.las",
+                    point_schema_matches_memory_layout=True).read_all()
+    laz = LasReader(f"{reference_test_data}/10_points_format_{fmt}.laz",
+                    point_schema_matches_memory_layout=True).read_all()
+    for name in las.schema.names:
+        np.testing.assert_array_equal(laz.get(name), las.get(name),
+                                      err_msg=name)
+
+
+@pytest.mark.parametrize("fmt", range(6, 11))
+def test_laz_layered_formats_rejected(reference_test_data, fmt):
+    """Layered compressor (point formats 6-10) not implemented yet; the
+    reference itself rejects LAZ waveform formats 9/10
+    (raw_readers.rs:451-455)."""
+    with pytest.raises((NotImplementedError, ValueError)):
+        LasReader(
+            f"{reference_test_data}/10_points_format_{fmt}.laz").read_all()
+
+
+@pytest.mark.parametrize("fmt", range(6))
+def test_laz_write_roundtrip(reference_test_data, fmt):
+    src = LasReader(
+        f"{reference_test_data}/10_points_format_{fmt}.las").read_all()
+    stream = io.BytesIO()
+    w = LasWriter(stream, src.schema, compressed=True)
+    w.write(src)
+    w.flush()
+    back = LasReader(io.BytesIO(stream.getvalue()),
+                     compressed=True).read_all()
+    for name in src.schema.names:
+        np.testing.assert_array_equal(back.get(name), src.get(name),
+                                      err_msg=name)
+
+
+def _big_cloud(n=130_000, fmt=1):
+    rng = np.random.default_rng(42)
+    schema = point_schema_from_las_format(LasPointFormat(fmt))
+    cols = {
+        att.POSITION_3D.name: np.round(
+            np.cumsum(rng.normal(0, 0.5, (n, 3)), axis=0), 3),
+        att.INTENSITY.name: rng.integers(0, 3000, n).astype(np.uint16),
+        att.RETURN_NUMBER.name: rng.integers(0, 8, n).astype(np.uint8),
+        att.NUMBER_OF_RETURNS.name: rng.integers(0, 8, n).astype(np.uint8),
+        att.SCAN_DIRECTION_FLAG.name: rng.integers(0, 2, n).astype(np.uint8),
+        att.EDGE_OF_FLIGHT_LINE.name: rng.integers(0, 2, n).astype(np.uint8),
+        att.CLASSIFICATION.name: rng.integers(0, 10, n).astype(np.uint8),
+        att.SCAN_ANGLE_RANK.name: rng.integers(-90, 90, n).astype(np.int8),
+        att.USER_DATA.name: rng.integers(0, 4, n).astype(np.uint8),
+        att.POINT_SOURCE_ID.name: rng.integers(0, 10, n).astype(np.uint16),
+        att.GPS_TIME.name: np.sort(rng.uniform(0, 1e5, n)),
+    }
+    return HostPointBuffer.from_columns(schema, cols)
+
+
+def test_laz_multichunk_roundtrip_and_seek():
+    buf = _big_cloud()
+    stream = io.BytesIO()
+    w = LasWriter(stream, buf.schema, compressed=True)
+    w.write(buf)
+    w.flush()
+    data = stream.getvalue()
+    assert len(data) < len(buf) * buf.schema.point_size  # actually compresses
+
+    back = LasReader(io.BytesIO(data), compressed=True).read_all()
+    np.testing.assert_allclose(back.get(att.POSITION_3D.name),
+                               buf.get(att.POSITION_3D.name), atol=0.001)
+    np.testing.assert_array_equal(back.get(att.GPS_TIME.name),
+                                  buf.get(att.GPS_TIME.name))
+
+    # point-granular seek into the middle of the second chunk
+    r = LasReader(io.BytesIO(data), compressed=True)
+    r.seek_point(60_001)
+    got = r.read(7)
+    np.testing.assert_allclose(
+        got.get(att.POSITION_3D.name),
+        buf.get(att.POSITION_3D.name)[60_001:60_008], atol=0.001)
