@@ -1,0 +1,102 @@
+"""Sharded map-style ops over the mesh.
+
+Two styles, both used deliberately:
+
+* **pjit style** (``sharded_bounds``): jit the single-device op over sharded
+  inputs and let XLA insert the collectives — right for pure reductions.
+* **shard_map style** (``sharded_voxel_downsample``): explicit per-shard
+  compute + collective merge — right when the op has a natural two-stage
+  decomposition (local voxelize, then merge voxel statistics), which keeps
+  the expensive sort local to each device and reduces only voxel
+  *statistics* over ICI.
+
+The two-stage voxel merge is exact for the mean/max policies (weighted
+mean-of-means with counts, max-of-max) and approximate for mode (mode of
+per-shard modes) — flagged in the docstring, matching the configurable
+reduction design.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..buffers.device import PointBatch
+from ..layout import attributes as att
+from ..ops.reductions import batch_bounds
+from ..ops.voxel import voxel_downsample
+from .mesh import POINTS_AXIS, batch_sharding
+
+__all__ = ["sharded_bounds", "sharded_voxel_downsample"]
+
+
+def sharded_bounds(batch: PointBatch, mesh: Mesh,
+                   axis: str = POINTS_AXIS
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Global AABB of a sharded batch — pjit style: XLA turns the masked
+    min/max into per-shard reductions + an all-reduce over ``axis``."""
+    shardings = batch_sharding(mesh, batch, axis)
+    rep = NamedSharding(mesh, P())
+
+    @partial(jax.jit, in_shardings=(shardings,), out_shardings=(rep, rep))
+    def run(b: PointBatch):
+        return batch_bounds(b.data[att.POSITION_3D.name], b.valid_mask())
+
+    return run(batch)
+
+
+def sharded_voxel_downsample(batch: PointBatch, mesh: Mesh, leaf_size,
+                             axis: str = POINTS_AXIS,
+                             semantics: str = "floor",
+                             per_shard_counts: Optional[jnp.ndarray] = None
+                             ) -> PointBatch:
+    """Two-stage distributed voxel downsample.
+
+    Stage 1 (per shard, no communication): Morton-sorted local voxelize.
+    Stage 2 (collective): global bounds via pmin so every shard quantizes
+    against the same grid origin; the merged result keeps per-shard voxel
+    centroids (points/voxel counts preserved in meta) — callers needing a
+    single merged batch re-voxelize the gathered centroids, which is exact
+    for mean with the carried weights.
+
+    Returns ``(batch, per_shard_counts)``: the batch is sharded like the
+    input, each shard's prefix holding its local voxel centroids;
+    ``per_shard_counts`` is an (n_shards,) int32 array of local voxel
+    counts (the batch's ``count`` is their global sum).
+    """
+    shardings = batch_sharding(mesh, batch, axis)
+    data_specs = {k: s.spec for k, s in shardings.data.items()}
+    meta_specs = {k: P() for k in batch.meta}
+    n_shards = mesh.shape[axis]
+    if per_shard_counts is None:
+        # valid rows form one global prefix: derive each shard's slice.
+        # After morton_partition, validity is per-shard instead — pass its
+        # counts through this parameter.
+        per_row = batch.capacity // n_shards
+        per_shard_counts = jnp.clip(
+            batch.count - jnp.arange(n_shards, dtype=jnp.int32) * per_row,
+            0, per_row)
+
+    def shard_fn(data, counts, meta):
+        pos = data[att.POSITION_3D.name]
+        local_count = counts[0]
+        local = PointBatch(dict(data), local_count, batch.schema, dict(meta))
+        mask = local.valid_mask()
+        lmin, _ = batch_bounds(pos, mask)
+        gmin = jax.lax.pmin(lmin, axis)
+        out = voxel_downsample(local, leaf_size, bounds=(gmin, None),
+                               semantics=semantics)
+        return out.data, out.count[None]
+
+    out_data, counts = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(data_specs, P(axis), meta_specs),
+        out_specs=(data_specs, P(axis)), check_vma=False)(
+        batch.data, per_shard_counts.astype(jnp.int32), batch.meta)
+    total = jnp.sum(counts).astype(jnp.int32)
+    return PointBatch(out_data, total, batch.schema, batch.meta), counts

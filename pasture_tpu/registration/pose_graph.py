@@ -1,0 +1,166 @@
+"""Pose-graph optimization over keyframed scans.
+
+Gauss-Newton on SE(3) pose nodes with relative-pose edge constraints:
+residual of edge (i, j) is ``log(T_meas^-1 · T_i^-1 · T_j)`` in the tangent
+space.  TPU-native structure:
+
+* per-edge 6x6 Jacobian blocks come from *forward-mode autodiff* of the
+  residual at zero perturbation, vmapped over all edges at once;
+* the (6N, 6N) normal equations are assembled with scatter-adds and solved
+  with a dense Cholesky — MXU work that stays fast to thousands of
+  keyframes;
+* everything runs in one ``lax.scan`` over a fixed iteration count.
+
+The distributed form (edges sharded over a device mesh, partial H/b reduced
+with ``psum`` before the replicated solve) lives in
+pasture_tpu.parallel.distributed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .se3 import se3_exp, se3_log
+
+__all__ = ["PoseGraph", "optimize_pose_graph", "edge_residuals",
+           "build_normal_equations"]
+
+
+@dataclasses.dataclass
+class PoseGraph:
+    """N poses + E relative-pose edges (a pytree of arrays).
+
+    ``rotations @ p + translations`` maps node-local points to world.
+    ``edges`` is (E, 2) int32 [i, j]; measurement maps frame j into frame i.
+    ``weights``: per-edge scalar information (isotropic; an (E, 6, 6)
+    information matrix generalisation threads through unchanged).
+    """
+
+    rotations: jnp.ndarray      # (N, 3, 3)
+    translations: jnp.ndarray   # (N, 3)
+    edges: jnp.ndarray          # (E, 2) int32
+    rel_rotations: jnp.ndarray  # (E, 3, 3)
+    rel_translations: jnp.ndarray  # (E, 3)
+    weights: Optional[jnp.ndarray] = None  # (E,)
+
+    @property
+    def num_poses(self) -> int:
+        return self.rotations.shape[0]
+
+    @property
+    def num_edges(self) -> int:
+        return self.edges.shape[0]
+
+
+def _edge_residual(xi_i, xi_j, rot_i, t_i, rot_j, t_j, rel_rot, rel_t):
+    """r = log(T_rel^-1 · (exp(xi_i) T_i)^-1 · (exp(xi_j) T_j)) — (6,)."""
+    d_rot_i, d_t_i = se3_exp(xi_i)
+    d_rot_j, d_t_j = se3_exp(xi_j)
+    ri = d_rot_i @ rot_i
+    ti = (d_rot_i @ t_i[..., None])[..., 0] + d_t_i
+    rj = d_rot_j @ rot_j
+    tj = (d_rot_j @ t_j[..., None])[..., 0] + d_t_j
+    # T_i^-1 T_j
+    rij = ri.T @ rj
+    tij = (ri.T @ (tj - ti)[..., None])[..., 0]
+    # T_rel^-1 (T_i^-1 T_j)
+    err_rot = rel_rot.T @ rij
+    err_t = (rel_rot.T @ (tij - rel_t)[..., None])[..., 0]
+    return se3_log(err_rot, err_t)
+
+
+def edge_residuals(graph: PoseGraph) -> jnp.ndarray:
+    """(E, 6) residuals at the current estimate."""
+    zero = jnp.zeros(6, graph.translations.dtype)
+
+    def one(edge, rel_rot, rel_t):
+        i, j = edge[0], edge[1]
+        return _edge_residual(zero, zero,
+                              graph.rotations[i], graph.translations[i],
+                              graph.rotations[j], graph.translations[j],
+                              rel_rot, rel_t)
+
+    return jax.vmap(one)(graph.edges, graph.rel_rotations,
+                         graph.rel_translations)
+
+
+def build_normal_equations(rotations, translations, edges, rel_rotations,
+                           rel_translations, weights):
+    """Assemble H (6N, 6N) and b (6N,) from all edges (vmapped autodiff)."""
+    n = rotations.shape[0]
+    dtype = translations.dtype
+    zero = jnp.zeros(6, dtype)
+
+    def residual_and_jac(edge, rel_rot, rel_t):
+        i, j = edge[0], edge[1]
+
+        def f(xi_i, xi_j):
+            return _edge_residual(xi_i, xi_j, rotations[i], translations[i],
+                                  rotations[j], translations[j],
+                                  rel_rot, rel_t)
+
+        r = f(zero, zero)
+        ja = jax.jacfwd(f, argnums=0)(zero, zero)   # (6, 6) wrt xi_i
+        jb = jax.jacfwd(f, argnums=1)(zero, zero)   # (6, 6) wrt xi_j
+        return r, ja, jb
+
+    r, ja, jb = jax.vmap(residual_and_jac)(edges, rel_rotations,
+                                           rel_translations)
+    w = weights[:, None, None]
+
+    h = jnp.zeros((n, 6, n, 6), dtype)
+    b = jnp.zeros((n, 6), dtype)
+    i_idx, j_idx = edges[:, 0], edges[:, 1]
+    h = h.at[i_idx, :, i_idx, :].add(w * jnp.einsum("eab,eac->ebc", ja, ja))
+    h = h.at[j_idx, :, j_idx, :].add(w * jnp.einsum("eab,eac->ebc", jb, jb))
+    h = h.at[i_idx, :, j_idx, :].add(w * jnp.einsum("eab,eac->ebc", ja, jb))
+    h = h.at[j_idx, :, i_idx, :].add(w * jnp.einsum("eab,eac->ebc", jb, ja))
+    b = b.at[i_idx].add((w[:, :, 0] * jnp.einsum("eab,ea->eb", ja, r)))
+    b = b.at[j_idx].add((w[:, :, 0] * jnp.einsum("eab,ea->eb", jb, r)))
+    return h.reshape(6 * n, 6 * n), b.reshape(6 * n)
+
+
+def _apply_update(rotations, translations, xi):
+    d_rot, d_t = se3_exp(xi)                    # (N,3,3), (N,3)
+    new_rot = d_rot @ rotations
+    new_t = (d_rot @ translations[..., None])[..., 0] + d_t
+    return new_rot, new_t
+
+
+def optimize_pose_graph(graph: PoseGraph, iterations: int = 10,
+                        damping: float = 1e-6,
+                        anchor_weight: float = 1e8) -> Tuple[PoseGraph,
+                                                             jnp.ndarray]:
+    """Gauss-Newton pose-graph solve; pose 0 is gauge-anchored.
+
+    Returns (optimized graph, per-iteration total squared residual)."""
+    n = graph.num_poses
+    dtype = graph.translations.dtype
+    weights = (graph.weights if graph.weights is not None
+               else jnp.ones(graph.num_edges, dtype))
+
+    def body(carry, _):
+        rotations, translations = carry
+        h, b = build_normal_equations(rotations, translations, graph.edges,
+                                      graph.rel_rotations,
+                                      graph.rel_translations, weights)
+        # gauge fix: strong prior on pose 0 staying put
+        anchor = jnp.zeros(6 * n, dtype).at[:6].set(anchor_weight)
+        h = h + jnp.diag(anchor) + damping * jnp.eye(6 * n, dtype=dtype)
+        l = jnp.linalg.cholesky(h)
+        y = jax.scipy.linalg.solve_triangular(l, -b, lower=True)
+        xi = jax.scipy.linalg.solve_triangular(l.T, y, lower=False)
+        new_rot, new_t = _apply_update(rotations, translations,
+                                       xi.reshape(n, 6))
+        res = edge_residuals(dataclasses.replace(
+            graph, rotations=new_rot, translations=new_t))
+        cost = jnp.sum(weights[:, None] * res * res)
+        return (new_rot, new_t), cost
+
+    (rot, t), costs = jax.lax.scan(
+        body, (graph.rotations, graph.translations), None, length=iterations)
+    return dataclasses.replace(graph, rotations=rot, translations=t), costs
