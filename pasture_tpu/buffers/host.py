@@ -128,6 +128,26 @@ class HostPointBuffer:
             raise ValueError(f"bad shape {values.shape} for column {name!r}")
         self.columns[name] = np.ascontiguousarray(values)
 
+    # ---- per-point access (UntypedPoint / iterator parity) --------------------
+    def point(self, index: int) -> Dict[str, np.ndarray]:
+        """One point as an attribute-name -> value dict (the runtime-typed
+        single-point view; reference ``UntypedPoint``,
+        containers/untyped_point.rs:8-407)."""
+        return {m.name: self.columns[m.name][index]
+                for m in self.schema.members}
+
+    def set_point(self, index: int, values: Dict[str, np.ndarray]) -> None:
+        for name, v in values.items():
+            m = self.schema.member(name)
+            self.columns[name][index] = np.asarray(
+                v, m.dtype.np_component_dtype)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Iterate points as dicts (reference by-value point iterators,
+        containers/point_iterators.rs:8-92)."""
+        for i in range(len(self)):
+            yield self.point(i)
+
     def transform_attribute(self, attribute: Union[str, PointAttribute], fn) -> None:
         """In-place column transform (reference ``transform_attribute``,
         point_buffer.rs:441)."""

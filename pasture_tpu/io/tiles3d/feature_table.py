@@ -16,6 +16,7 @@ from typing import Any, Dict, Tuple, Union
 __all__ = [
     "FeatureTableDataReference",
     "read_feature_table_header", "write_feature_table_header",
+    "read_batch_table_header", "write_batch_table_header",
     "read_json_header", "write_json_header",
 ]
 
@@ -50,6 +51,18 @@ def write_json_header(obj: Dict[str, Any], align: int = 8,
     raw = json.dumps(obj, separators=(",", ":")).encode("utf-8")
     pad = (-(start_offset + len(raw))) % align
     return raw + b" " * pad
+
+
+def read_batch_table_header(buf: bytes, offset: int, length: int
+                            ) -> Dict[str, FeatureTableValue]:
+    """BatchTable JSON header — same wire rules as the FeatureTable
+    (reference batch_table.rs:16-183)."""
+    return read_feature_table_header(buf, offset, length)
+
+
+def write_batch_table_header(header: Dict[str, FeatureTableValue],
+                             align: int = 8, start_offset: int = 0) -> bytes:
+    return write_feature_table_header(header, align, start_offset)
 
 
 def read_feature_table_header(buf: bytes, offset: int, length: int

@@ -14,5 +14,6 @@ from .transform import (  # noqa: F401
     affine_transform, decode_las_positions, encode_las_positions,
     transform_positions,
 )
+from .convert import convert_batch_schema, rust_as_cast_device  # noqa: F401
 from .sort import morton_sort, sort_by_keys  # noqa: F401
 from .voxel import voxel_downsample, voxel_indices  # noqa: F401
