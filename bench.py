@@ -50,7 +50,8 @@ def make_batch(n: int) -> PointBatch:
 
 
 def pipeline(batch: PointBatch, shift: jnp.ndarray) -> jnp.ndarray:
-    """One transform+voxelize step; returns the voxel count (scalar)."""
+    """One transform+voxelize step.  Returns a checksum that depends on
+    EVERY output column so XLA cannot dead-code-eliminate any reduction."""
     scale = jnp.asarray([0.001, 0.001, 0.001], jnp.float32)
     offset = jnp.asarray([0.0, 0.0, 0.0], jnp.float32)
     pos = decode_las_positions(batch.data["LASLocalPosition"], scale, offset)
@@ -62,8 +63,12 @@ def pipeline(batch: PointBatch, shift: jnp.ndarray) -> jnp.ndarray:
     del data["LASLocalPosition"]
     data[att.POSITION_3D.name] = pos
     b = PointBatch(data, batch.count, batch.schema, batch.meta)
-    out = voxel_downsample(b, LEAF, semantics="floor")
-    return out.count
+    out = voxel_downsample(b, LEAF, semantics="floor", grid_bits=10)
+    checksum = out.count
+    for col in out.data.values():
+        checksum = checksum + jnp.sum(col[:16].astype(jnp.float32)
+                                      ).astype(jnp.int32)
+    return checksum
 
 
 def make_looped(k: int):

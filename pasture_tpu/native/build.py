@@ -24,8 +24,8 @@ def ensure_laszip() -> Path:
         if so.exists() and so.stat().st_mtime >= src.stat().st_mtime:
             return so
         tmp = so.with_suffix(".so.tmp")
-        cmd = ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-pthread",
-               str(src), "-o", str(tmp)]
+        cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
+               "-fPIC", "-pthread", str(src), "-o", str(tmp)]
         try:
             subprocess.run(cmd, check=True, capture_output=True, text=True)
         except FileNotFoundError:

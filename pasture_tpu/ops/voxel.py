@@ -3,9 +3,19 @@
 TPU-native re-design of pasture's ``voxelgrid_filter``
 (reference: pasture-algorithms/src/voxel_grid.rs:109-165): where the
 reference scans markers linearly per point and inserts into a sorted Vec
-(O(n·v)), this op quantizes positions to integer cells, sorts once by Morton
-key, and computes every centroid with segmented reductions — O(n log n) and
-fully vectorised.
+(O(n·v)), this op quantizes positions to integer cells and regroups with
+Morton-key sorts.
+
+Implementation notes (measured on v5e): XLA lowers big gathers and
+scatter-based segmented reductions to element-at-a-time loops (~100-250ms
+for 4M rows), so the pipeline avoids both entirely —
+
+1. ONE key sort that carries every payload column through the sort network
+   (no post-sort gather);
+2. segmented reductions as reverse ``associative_scan``s over the
+   contiguous segments (pasture_tpu.ops.segscan), totals landing on each
+   segment's first row;
+3. a final key sort that compacts first rows to the front (no indexing).
 
 Per-attribute reduction policies reproduce set_all_attributes
 (voxel_grid.rs:443-700):
@@ -20,32 +30,32 @@ max (clamped at 0)     ClassificationFlags, GpsTime
 rejected               the five waveform attributes
 =====================  ==========================================
 
-Unknown attributes default to mean for floats and mode for integers (the
-reference leaves them zero; policies can be overridden per attribute, which
-is the configurable-reduction design the reference's TODO asks for).
+Unknown attributes default to mean for floats and mode for integers; ties
+in mode go to the smallest value (the reference's HashMap iteration is
+nondeterministic there).  Cell-index semantics ``"nearest"`` reproduces the
+reference's nearest-marker clamp (voxel_grid.rs:22-51); ``"floor"`` is
+standard voxel binning.  Averages accumulate in f32 on device (f64 when the
+column is f64 — the host-exact algorithms layer is always f64).
 
-Cell-index semantics ``"nearest"`` reproduces the reference's nearest-marker
-clamp (voxel_grid.rs:22-51): ``i = clamp(floor((p - min)/leaf - 0.5), 0,
-n-1)``; ``"floor"`` is the standard half-open voxel binning.  Averages
-accumulate in f32 on device (f64 in the host-exact algorithms layer).
+``grid_bits`` bounds the cell grid per axis: 10 (default 1024³ cells) uses
+a single u32 Morton sort key; up to 20 uses a dual-u32 key (two-key sort,
+~40% slower).
 """
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
+from jax import lax
 
 from ..buffers.device import PointBatch
 from ..layout import attributes as att
-from .reductions import (
-    batch_bounds, segment_max, segment_mean, segment_mode, segment_sum,
-)
-from .sort import morton_sort
+from ..math.morton import _expand10_u32, morton_encode_dual32
+from .reductions import batch_bounds
+from .segscan import seg_totals_lexmax2, seg_totals_max, seg_totals_sum
 
 __all__ = ["voxel_indices", "voxel_downsample", "DEFAULT_POLICIES"]
-
-_MAX_CELL = (1 << 20) - 1  # dual-u32 Morton supports 20 bits per axis
 
 DEFAULT_POLICIES: Dict[str, str] = {
     att.POSITION_3D.name: "mean",
@@ -73,6 +83,8 @@ _WAVEFORM_NAMES = frozenset({
     att.WAVEFORM_PARAMETERS.name,
 })
 
+_INVALID_KEY = jnp.uint32(0xFFFFFFFF)
+
 
 def _cast_as(x: jnp.ndarray, dtype) -> jnp.ndarray:
     """Rust ``as``-style cast of a float reduction result back to the
@@ -88,9 +100,11 @@ def _cast_as(x: jnp.ndarray, dtype) -> jnp.ndarray:
 
 def voxel_indices(positions: jnp.ndarray, mask: jnp.ndarray,
                   leaf_size, bounds_min: jnp.ndarray,
-                  semantics: str = "nearest") -> jnp.ndarray:
+                  semantics: str = "nearest",
+                  grid_bits: int = 20) -> jnp.ndarray:
     """Integer cell indices (N, 3) for each point; invalid rows get the
     maximal index so they sort last."""
+    max_cell = (1 << grid_bits) - 1
     leaf = jnp.broadcast_to(jnp.asarray(leaf_size, positions.dtype), (3,))
     u = (positions - bounds_min[None, :].astype(positions.dtype)) / leaf[None, :]
     if semantics == "nearest":
@@ -99,8 +113,46 @@ def voxel_indices(positions: jnp.ndarray, mask: jnp.ndarray,
         idx = jnp.floor(u)
     else:
         raise ValueError(f"unknown voxel semantics {semantics!r}")
-    idx = jnp.clip(idx, 0, _MAX_CELL).astype(jnp.int32)
-    return jnp.where(mask[:, None], idx, _MAX_CELL)
+    idx = jnp.clip(idx, 0, max_cell).astype(jnp.int32)
+    return jnp.where(mask[:, None], idx, max_cell)
+
+
+def _keys(cells: jnp.ndarray, mask: jnp.ndarray, grid_bits: int
+          ) -> List[jnp.ndarray]:
+    """Sort keys: one u32 Morton key for <=10-bit grids, else (hi, lo);
+    invalid rows get the maximal key."""
+    cu = cells.astype(jnp.uint32)
+    if grid_bits <= 10:
+        key = (_expand10_u32(cu[:, 0]) | (_expand10_u32(cu[:, 1]) << 1)
+               | (_expand10_u32(cu[:, 2]) << 2))
+        return [jnp.where(mask, key, _INVALID_KEY)]
+    hi, lo = morton_encode_dual32(cu[:, 0], cu[:, 1], cu[:, 2])
+    return [jnp.where(mask, hi, _INVALID_KEY), jnp.where(mask, lo, _INVALID_KEY)]
+
+
+def _flatten_cols(data: Dict[str, jnp.ndarray]):
+    """Split (N, C) columns into C 1-D operands; remember the layout."""
+    ops, layout = [], []
+    for name, col in data.items():
+        if col.ndim == 1:
+            layout.append((name, 1))
+            ops.append(col)
+        else:
+            layout.append((name, col.shape[1]))
+            ops.extend(col[:, i] for i in range(col.shape[1]))
+    return ops, layout
+
+
+def _unflatten_cols(ops, layout):
+    out, i = {}, 0
+    for name, c in layout:
+        if c == 1:
+            out[name] = ops[i]
+            i += 1
+        else:
+            out[name] = jnp.stack(ops[i:i + c], axis=1)
+            i += c
+    return out
 
 
 def voxel_downsample(batch: PointBatch, leaf_size,
@@ -108,7 +160,7 @@ def voxel_downsample(batch: PointBatch, leaf_size,
                      policies: Optional[Dict[str, str]] = None,
                      semantics: str = "nearest",
                      position_attribute: str = att.POSITION_3D.name,
-                     ) -> PointBatch:
+                     grid_bits: int = 20) -> PointBatch:
     """Voxel-grid downsample a batch; returns a batch of voxel centroids
     (same schema/capacity, ``count`` = number of occupied voxels, ordered by
     Morton code — the reference orders voxels by (x,y,z) tuple instead).
@@ -126,6 +178,14 @@ def voxel_downsample(batch: PointBatch, leaf_size,
     if policies:
         pol.update(policies)
 
+    def policy_of(name, col):
+        p = pol.get(name)
+        if p is None:
+            p = "mean" if jnp.issubdtype(col.dtype, jnp.floating) else "mode"
+        if p == "mode" and col.ndim != 1:
+            raise ValueError(f"mode policy needs a scalar column: {name}")
+        return p
+
     pos = batch.data[position_attribute]
     mask = batch.valid_mask()
     if bounds is None:
@@ -133,48 +193,90 @@ def voxel_downsample(batch: PointBatch, leaf_size,
     else:
         bmin = jnp.asarray(bounds[0])
 
-    cells = voxel_indices(pos, mask, leaf_size, bmin, semantics)
-    sorted_batch, (hi, lo), perm = morton_sort(batch, cells)
-    valid_sorted = perm < batch.count  # valid rows are a sorted prefix
-
+    cells = voxel_indices(pos, mask, leaf_size, bmin, semantics, grid_bits)
+    keys = _keys(cells, mask, grid_bits)
+    nk = len(keys)
     cap = batch.capacity
-    new_seg = jnp.concatenate([
+
+    # ---- sort 1: keys carry every non-mode payload column ------------------
+    carry_data = {name: col for name, col in batch.data.items()
+                  if policy_of(name, col) != "mode"}
+    ops, layout = _flatten_cols(carry_data)
+    sorted_all = lax.sort(tuple(keys) + tuple(ops), num_keys=nk)
+    skeys = sorted_all[:nk]
+    sorted_cols = _unflatten_cols(list(sorted_all[nk:]), layout)
+
+    valid = jnp.arange(cap, dtype=jnp.int32) < batch.count  # sorted prefix
+    new_key = jnp.concatenate([
         jnp.ones((1,), bool),
-        (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])])
-    seg_start = new_seg & valid_sorted
-    seg_id_valid = jnp.cumsum(seg_start.astype(jnp.int32)) - 1
-    num_voxels = jnp.sum(seg_start.astype(jnp.int32))
-    # invalid rows go to the overflow segment `cap`, sliced off below
-    seg_id = jnp.where(valid_sorted, jnp.clip(seg_id_valid, 0, cap - 1), cap)
-    nseg = cap + 1
+        jnp.any(jnp.stack([k[1:] != k[:-1] for k in skeys]), axis=0)
+        if nk > 1 else (skeys[0][1:] != skeys[0][:-1])])
+    first = new_key & valid
+    seg_id = jnp.cumsum(first.astype(jnp.uint32)) - 1
+    num_voxels = jnp.sum(first.astype(jnp.int32))
 
-    counts = segment_sum(jnp.ones(cap, jnp.float32), seg_id, nseg)
+    # per-segment counts (land on first rows)
+    ones = jnp.where(valid, 1.0, 0.0).astype(jnp.float32)
+    counts32 = seg_totals_sum(ones, first)
 
-    out_data = {}
-    for name, col in sorted_batch.data.items():
-        dtype = col.dtype
-        p = pol.get(name)
-        if p is None:
-            p = "mean" if jnp.issubdtype(dtype, jnp.floating) else "mode"
-        if p == "mean":
-            acc = jnp.float64 if col.dtype == jnp.float64 else jnp.float32
-            red = segment_mean(col, seg_id, nseg, counts=counts,
-                               acc_dtype=acc)[:cap]
-            out_data[name] = _cast_as(red, dtype)
-        elif p == "mode":
-            if col.ndim != 1:
-                raise ValueError(f"mode policy needs a scalar column: {name}")
-            red = segment_mode(col, seg_id, nseg)[:cap]
-            out_data[name] = _cast_as(red.astype(jnp.float32), dtype)
-        elif p == "max":
-            # reference centroid_max_pool starts its running max at 0.0
-            # (voxel_grid.rs:168-216), clamping negatives to zero
-            acc = col.dtype if jnp.issubdtype(col.dtype, jnp.floating) \
-                else jnp.float32
-            red = segment_max(col.astype(acc), seg_id, nseg)[:cap]
-            out_data[name] = _cast_as(jnp.maximum(red, 0.0), dtype)
-        else:
-            raise ValueError(f"unknown reduction policy {p!r} for {name!r}")
+    reduced: Dict[str, jnp.ndarray] = {}
+
+    # ---- mean: one batched scan per accumulator dtype ----------------------
+    for acc_dtype in (jnp.float32, jnp.float64):
+        group = [(n, c) for n, c in sorted_cols.items()
+                 if policy_of(n, batch.data[n]) == "mean"
+                 and ((c.dtype == jnp.float64) == (acc_dtype == jnp.float64))]
+        if not group:
+            continue
+        comps, glayout = _flatten_cols(dict(group))
+        stacked = jnp.stack([c.astype(acc_dtype) for c in comps], axis=1)
+        stacked = jnp.where(valid[:, None], stacked, 0)
+        sums = seg_totals_sum(stacked, first)
+        cnt = jnp.maximum(counts32, 1.0).astype(acc_dtype)[:, None]
+        means = sums / cnt
+        cols = _unflatten_cols([means[:, i] for i in range(means.shape[1])],
+                               glayout)
+        for n, c in cols.items():
+            reduced[n] = _cast_as(c, batch.data[n].dtype)
+
+    # ---- max: clamped at 0 (centroid_max_pool parity) ----------------------
+    for n, c in sorted_cols.items():
+        if policy_of(n, batch.data[n]) != "max":
+            continue
+        acc = c.dtype if jnp.issubdtype(c.dtype, jnp.floating) \
+            else jnp.float32
+        v = jnp.where(valid, c.astype(acc), -jnp.inf)
+        m = seg_totals_max(v, first)
+        reduced[n] = _cast_as(jnp.maximum(m, 0.0), batch.data[n].dtype)
+
+    # ---- mode: per column, its own (key, value) sort + run-length scans ----
+    for n, col in batch.data.items():
+        if policy_of(n, col) != "mode":
+            continue
+        v32 = col.astype(jnp.int32)
+        s = lax.sort(tuple(keys) + (v32,), num_keys=nk + 1)
+        sv = s[nk]
+        sk = s[:nk]
+        nk_new = jnp.concatenate([
+            jnp.ones((1,), bool),
+            jnp.any(jnp.stack([k[1:] != k[:-1] for k in sk]), axis=0)
+            if nk > 1 else (sk[0][1:] != sk[0][:-1])])
+        run_new = nk_new | jnp.concatenate([jnp.ones((1,), bool),
+                                            sv[1:] != sv[:-1]])
+        f2 = nk_new & valid
+        runs = run_new & valid
+        run_len = seg_totals_sum(jnp.where(valid, 1, 0).astype(jnp.int32),
+                                 runs)
+        primary = jnp.where(runs, run_len, -1)
+        secondary = jnp.where(runs, -sv, jnp.iinfo(jnp.int32).min)
+        _, best_neg = seg_totals_lexmax2(primary, secondary, f2)
+        reduced[n] = _cast_as((-best_neg).astype(jnp.float32), col.dtype)
+
+    # ---- compaction sort: first rows to the front --------------------------
+    ckey = jnp.where(first, seg_id, _INVALID_KEY)
+    cops, clayout = _flatten_cols(reduced)
+    csorted = lax.sort((ckey,) + tuple(cops), num_keys=1)
+    out_data = _unflatten_cols(list(csorted[1:]), clayout)
 
     return PointBatch(out_data, num_voxels.astype(jnp.int32), batch.schema,
                       batch.meta)
