@@ -31,7 +31,7 @@ from pasture_tpu.ops import affine_transform, decode_las_positions, voxel_downsa
 N = 1 << 22  # 4M points
 LEAF = 0.5
 TARGET_POINTS_PER_S = 1e9
-K1, K2 = 2, 10
+K = 8  # pipeline iterations inside the single timed program
 
 
 def make_batch(n: int) -> PointBatch:
@@ -71,17 +71,21 @@ def pipeline(batch: PointBatch, shift: jnp.ndarray) -> jnp.ndarray:
     return checksum
 
 
-def make_looped(k: int):
-    @jax.jit
-    def run(batch: PointBatch) -> jnp.ndarray:
-        def body(i, carry):
-            # carry feeds the transform so iterations can't be elided/fused
-            shift = (carry.astype(jnp.float32) % 7.0) * 1e-6
-            return carry + pipeline(batch, shift)
+@jax.jit
+def run_pipeline(batch: PointBatch) -> jnp.ndarray:
+    def body(i, carry):
+        # carry feeds the transform so iterations can't be elided/fused
+        shift = (carry.astype(jnp.float32) % 7.0) * 1e-6
+        return carry + pipeline(batch, shift)
 
-        return jax.lax.fori_loop(0, k, body, jnp.asarray(0, jnp.int32))
+    return jax.lax.fori_loop(0, K, body, jnp.asarray(0, jnp.int32))
 
-    return run
+
+@jax.jit
+def run_overhead(batch: PointBatch) -> jnp.ndarray:
+    """Near-zero compute with the same dispatch+fetch path — measures the
+    constant per-call overhead that the difference cancels."""
+    return jnp.sum(batch.data["LASLocalPosition"][:8].astype(jnp.int32))
 
 
 def timed_fetch(fn, batch, repeats: int = 3) -> float:
@@ -90,19 +94,18 @@ def timed_fetch(fn, batch, repeats: int = 3) -> float:
         t0 = time.perf_counter()
         v = int(fn(batch))  # scalar device->host fetch forces completion
         best = min(best, time.perf_counter() - t0)
-        assert v > 0
+        assert v != 0
     return best
 
 
 def main() -> None:
     batch = make_batch(N)
-    run1, run2 = make_looped(K1), make_looped(K2)
-    int(run1(batch))  # compile + first-fetch path setup
-    int(run2(batch))
+    int(run_overhead(batch))  # compile + first-fetch path setup
+    int(run_pipeline(batch))
 
-    t1 = timed_fetch(run1, batch)
-    t2 = timed_fetch(run2, batch)
-    per_iter = max((t2 - t1) / (K2 - K1), 1e-9)
+    t0 = timed_fetch(run_overhead, batch)
+    tk = timed_fetch(run_pipeline, batch)
+    per_iter = max((tk - t0) / K, 1e-9)
 
     pps = N / per_iter
     print(json.dumps({
