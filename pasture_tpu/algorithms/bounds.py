@@ -40,5 +40,10 @@ def calculate_bounds(buffer: Union[HostPointBuffer, PointBatch]
         raise ValueError("buffer has no Position3D attribute")
     if len(buffer) == 0:
         return None
-    pos = buffer.get_converted(att.POSITION_3D)
+    # fast path for the default Vec3f64 dtype (reference bounds.rs:12-100
+    # has the same split); converting path otherwise
+    if buffer.schema.member(name).dtype == att.POSITION_3D.dtype:
+        pos = buffer.get(name)
+    else:
+        pos = buffer.get_converted(att.POSITION_3D)
     return AABB.from_min_max_unchecked(pos.min(axis=0), pos.max(axis=0))
