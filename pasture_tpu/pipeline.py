@@ -1,0 +1,147 @@
+"""High-level registration pipeline: scans in, map + trajectory out.
+
+The framework's flagship composition — host ingest, device voxel
+downsampling, scan-to-map ICP odometry, keyframed pose graph — in one
+object.  Each stage is the public building block (io, ops, registration),
+so the pipeline is also living documentation of how they fit together.
+
+    pipe = RegistrationPipeline(voxel_size=0.2)
+    for scan in scans:                       # HostPointBuffer or (N,3) array
+        pipe.add_scan(scan)
+    pipe.optimize()
+    traj = pipe.trajectory()                 # (K, 3) translations
+    map_pts = pipe.map_points()              # merged, downsampled map
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from .buffers.host import HostPointBuffer
+from .layout import attributes as att
+from .registration import PoseGraph, icp, optimize_pose_graph
+from .registration.se3 import transform_points
+
+__all__ = ["RegistrationPipeline"]
+
+
+def _positions(scan) -> np.ndarray:
+    if isinstance(scan, HostPointBuffer):
+        return scan.get_converted(att.POSITION_3D)
+    return np.asarray(scan, np.float64).reshape(-1, 3)
+
+
+@dataclasses.dataclass
+class _Keyframe:
+    points: np.ndarray        # local-frame positions (downsampled)
+    rotation: np.ndarray      # world pose
+    translation: np.ndarray
+
+
+class RegistrationPipeline:
+    """Incremental scan registration with keyframing.
+
+    Each added scan is aligned to the previous keyframe's points with
+    point-to-plane ICP; a new keyframe is spawned when motion exceeds the
+    keyframe distance.  ``optimize`` runs the pose graph over the odometry
+    chain (plus any loop-closure edges added via :meth:`add_loop_closure`).
+    """
+
+    def __init__(self, voxel_size: float = 0.1,
+                 max_correspondence_distance: float = 1.0,
+                 icp_iterations: int = 20,
+                 keyframe_distance: float = 0.5,
+                 point_to_plane: bool = True) -> None:
+        self.voxel_size = voxel_size
+        self.max_corr = max_correspondence_distance
+        self.icp_iterations = icp_iterations
+        self.keyframe_distance = keyframe_distance
+        self.point_to_plane = point_to_plane
+        self.keyframes: List[_Keyframe] = []
+        self._edges: List[tuple] = []     # (i, j, rel_rot, rel_t)
+        self._last_result = None
+
+    # ---- ingest ---------------------------------------------------------------
+    def _downsample(self, pos: np.ndarray) -> np.ndarray:
+        if self.voxel_size <= 0:
+            return pos
+        cell = np.floor((pos - pos.min(axis=0)) / self.voxel_size)
+        _, idx = np.unique(cell.astype(np.int64), axis=0, return_index=True)
+        return pos[np.sort(idx)]
+
+    def add_scan(self, scan: Union[HostPointBuffer, np.ndarray]) -> None:
+        pos = self._downsample(_positions(scan))
+        if not self.keyframes:
+            self.keyframes.append(_Keyframe(pos, np.eye(3), np.zeros(3)))
+            return
+        ref = self.keyframes[-1]
+        result = icp(jnp.asarray(pos), jnp.asarray(ref.points),
+                     max_correspondence_distance=self.max_corr,
+                     iterations=self.icp_iterations,
+                     point_to_plane=self.point_to_plane)
+        rel_rot = np.asarray(result.rotation, np.float64)
+        rel_t = np.asarray(result.translation, np.float64)
+        self._last_result = result
+        if np.linalg.norm(rel_t) >= self.keyframe_distance or \
+                np.trace(rel_rot) < 3.0 - 1e-3:
+            rot = ref.rotation @ rel_rot
+            t = ref.rotation @ rel_t + ref.translation
+            k = len(self.keyframes)
+            self.keyframes.append(_Keyframe(pos, rot, t))
+            self._edges.append((k - 1, k, rel_rot, rel_t))
+
+    def add_loop_closure(self, i: int, j: int,
+                         rel_rotation: Optional[np.ndarray] = None,
+                         rel_translation: Optional[np.ndarray] = None) -> None:
+        """Add an edge between keyframes i and j.  Without an explicit
+        measurement, ICP aligns keyframe j's points to keyframe i's."""
+        if rel_rotation is None or rel_translation is None:
+            result = icp(jnp.asarray(self.keyframes[j].points),
+                         jnp.asarray(self.keyframes[i].points),
+                         max_correspondence_distance=self.max_corr,
+                         iterations=self.icp_iterations,
+                         point_to_plane=self.point_to_plane)
+            rel_rotation = np.asarray(result.rotation, np.float64)
+            rel_translation = np.asarray(result.translation, np.float64)
+        self._edges.append((i, j, rel_rotation, rel_translation))
+
+    # ---- solve ----------------------------------------------------------------
+    def graph(self) -> PoseGraph:
+        k = len(self.keyframes)
+        if not self._edges:
+            raise ValueError("need at least two keyframes with an edge")
+        edges = np.asarray([[e[0], e[1]] for e in self._edges], np.int32)
+        return PoseGraph(
+            rotations=jnp.asarray(np.stack(
+                [kf.rotation for kf in self.keyframes])),
+            translations=jnp.asarray(np.stack(
+                [kf.translation for kf in self.keyframes])),
+            edges=jnp.asarray(edges),
+            rel_rotations=jnp.asarray(np.stack([e[2] for e in self._edges])),
+            rel_translations=jnp.asarray(np.stack(
+                [e[3] for e in self._edges])))
+
+    def optimize(self, iterations: int = 10) -> np.ndarray:
+        """Pose-graph solve; updates keyframe poses, returns the cost curve."""
+        optimized, costs = optimize_pose_graph(self.graph(),
+                                               iterations=iterations)
+        for k, kf in enumerate(self.keyframes):
+            kf.rotation = np.asarray(optimized.rotations[k], np.float64)
+            kf.translation = np.asarray(optimized.translations[k], np.float64)
+        return np.asarray(costs)
+
+    # ---- outputs --------------------------------------------------------------
+    def trajectory(self) -> np.ndarray:
+        return np.stack([kf.translation for kf in self.keyframes])
+
+    def map_points(self) -> np.ndarray:
+        """All keyframe points in world frame, voxel-merged."""
+        world = [np.asarray(transform_points(
+            jnp.asarray(kf.rotation), jnp.asarray(kf.translation),
+            jnp.asarray(kf.points)))
+            for kf in self.keyframes]
+        return self._downsample(np.concatenate(world))
