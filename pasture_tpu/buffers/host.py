@@ -185,6 +185,17 @@ class HostPointBuffer:
             return HostPointBuffer(self.schema, cols, validate=False)
         raise TypeError("index must be a slice or index array")
 
+    def sort_by(self, attribute: Union[str, PointAttribute],
+                component: Optional[int] = None) -> "HostPointBuffer":
+        """New buffer sorted by an attribute (reference ``PointViewMut::
+        sort_by``, containers/buffer_views.rs:242-247)."""
+        name = attribute if isinstance(attribute, str) else attribute.name
+        col = self.columns[name]
+        key = col if component is None and col.ndim == 1 else \
+            col[:, component if component is not None else 0]
+        order = np.argsort(key, kind="stable")
+        return self[order]
+
     def filter(self, mask: np.ndarray) -> "HostPointBuffer":
         """Predicate filtering (reference ``HashMapBuffer::filter``,
         point_buffer.rs:1047)."""

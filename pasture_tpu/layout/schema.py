@@ -218,3 +218,58 @@ class PointSchema:
         return PointSchema.from_attributes_packed(
             [self.attribute(n) for n in names]
         )
+
+    @classmethod
+    def from_numpy_dtype(cls, np_dtype: np.dtype) -> "PointSchema":
+        """Schema from a numpy structured dtype — the Python analog of the
+        reference's ``#[derive(PointType)]`` proc-macro
+        (pasture-derive/src/lib.rs:422-475): field names, dtypes and
+        *offsets* are taken from the struct definition.
+
+        Scalar fields map to scalar attribute dtypes, ``(3,)``/``(4,)``
+        subarrays to the vector dtypes, other u8 subarrays to byte arrays.
+        """
+        from . import dtypes as dt
+
+        if np_dtype.names is None:
+            raise ValueError("expected a structured numpy dtype")
+        schema = cls()
+        offsets = []
+        for name in np_dtype.names:
+            field_dtype, field_offset = np_dtype.fields[name][:2]
+            if field_dtype.subdtype is not None:
+                base, shape = field_dtype.subdtype
+            else:
+                base, shape = field_dtype, ()
+            kind = {"u": "uint", "i": "int", "f": "float"}.get(base.kind)
+            if kind is None:
+                raise ValueError(f"unsupported field kind {base.kind!r}")
+            if shape == ():
+                pd = dt.PointDtype(
+                    {"uint": "U", "int": "I", "float": "F"}[kind]
+                    + str(base.itemsize * 8), kind, base.itemsize * 8, ())
+                pd = dt.dtype_from_name(pd.name)
+            elif shape in ((3,), (4,)):
+                names = {("uint", 8, (3,)): dt.VEC3U8,
+                         ("uint", 16, (3,)): dt.VEC3U16,
+                         ("int", 32, (3,)): dt.VEC3I32,
+                         ("float", 32, (3,)): dt.VEC3F32,
+                         ("float", 64, (3,)): dt.VEC3F64,
+                         ("uint", 8, (4,)): dt.VEC4U8}
+                key = (kind, base.itemsize * 8, shape)
+                if key not in names:
+                    raise ValueError(f"no vector dtype for {key}")
+                pd = names[key]
+            elif kind == "uint" and base.itemsize == 1:
+                pd = dt.byte_array(int(np.prod(shape)))
+            else:
+                raise ValueError(f"unsupported field shape {shape}")
+            offsets.append((name, pd, field_offset))
+        # place fields at their declared offsets
+        for name, pd, off in sorted(offsets, key=lambda x: x[2]):
+            idx = len(schema._members)
+            schema._by_name[name] = idx
+            schema._members.append(SchemaMember(
+                PointAttribute(name, pd), off))
+            schema._max_align = max(schema._max_align, pd.min_alignment)
+        return schema

@@ -71,3 +71,38 @@ def test_batch_table_roundtrip():
     back = read_batch_table_header(raw, 0, len(raw))
     assert back["ids"] == FeatureTableDataReference(0, "UNSIGNED_INT")
     assert back["names"] == ["a", "b"]
+
+
+def test_schema_from_numpy_dtype():
+    """The #[derive(PointType)] analog: struct dtype -> schema."""
+    nd = np.dtype({
+        "names": ["Position3D", "Intensity", "Classification"],
+        "formats": [(np.float64, (3,)), np.uint16, np.uint8],
+        "offsets": [0, 24, 26],
+        "itemsize": 32,
+    })
+    schema = PointSchema.from_numpy_dtype(nd)
+    assert schema.names == ("Position3D", "Intensity", "Classification")
+    assert schema.offset_of("Intensity") == 24
+    assert schema.attribute("Position3D").dtype is dt.VEC3F64
+    # round trip through the wire layout
+    back = schema.to_numpy_dtype()
+    assert back.fields["Intensity"][1] == 24
+
+
+def test_sort_by(rng):
+    buf = _buf(rng)
+    by_int = buf.sort_by(att.INTENSITY)
+    inten = by_int.get(att.INTENSITY.name)
+    assert np.all(np.diff(inten.astype(np.int64)) >= 0)
+    by_x = buf.sort_by(att.POSITION_3D, component=0)
+    assert np.all(np.diff(by_x.get(att.POSITION_3D.name)[:, 0]) >= 0)
+
+
+def test_random_point_buffer():
+    from pasture_tpu.testing import random_point_buffer
+    buf = random_point_buffer(64, seed=7)
+    assert len(buf) == 64
+    buf2 = random_point_buffer(64, seed=7)
+    np.testing.assert_array_equal(buf.get(att.GPS_TIME.name),
+                                  buf2.get(att.GPS_TIME.name))
