@@ -17,6 +17,7 @@ from .base import (  # noqa: F401
     SeekToPoint,
     open_reader,
     open_writer,
+    point_count,
     read_all,
     write_all,
 )

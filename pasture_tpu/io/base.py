@@ -18,7 +18,8 @@ from ..math.aabb import AABB
 
 __all__ = [
     "Metadata", "PointReader", "PointWriter", "SeekToPoint", "IOFactory",
-    "DEFAULT_FACTORY", "open_reader", "open_writer", "read_all", "write_all",
+    "DEFAULT_FACTORY", "open_reader", "open_writer", "point_count",
+    "read_all", "write_all",
 ]
 
 
@@ -148,6 +149,13 @@ def open_reader(path: Union[str, Path]) -> PointReader:
 
 def open_writer(path: Union[str, Path], schema: PointSchema, **kw) -> PointWriter:
     return DEFAULT_FACTORY.make_writer(path, schema, **kw)
+
+
+def point_count(path: Union[str, Path]) -> Optional[int]:
+    """Number of points in a file without reading them
+    (reference IOFactory::point_count, io_factory.rs:148-166)."""
+    with open_reader(path) as r:
+        return r.get_metadata().number_of_points()
 
 
 def read_all(path: Union[str, Path],

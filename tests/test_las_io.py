@@ -254,3 +254,27 @@ def test_laz_without_native_codec_raises(reference_test_data):
         pytest.skip("native codec present")
     with pytest.raises(NotImplementedError):
         LasReader(f"{reference_test_data}/10_points_format_0.laz")
+
+
+def test_point_count_convenience(reference_test_data):
+    from pasture_tpu.io import point_count
+    assert point_count(
+        f"{reference_test_data}/10_points_format_2.las") == 10
+
+
+def test_write_las_12_version(tmp_path, reference_test_data):
+    """Older LAS version headers (1.2: 227-byte header, legacy counts)."""
+    from pasture_tpu.io.las.header import LasHeader, LasPointFormat
+    src = read_all(f"{reference_test_data}/10_points_format_1.las")
+    header = LasHeader(version=(1, 2), point_format=LasPointFormat(1),
+                       point_record_length=28)
+    out = tmp_path / "v12.las"
+    with LasWriter(out, src.schema, header=header) as w:
+        w.write(src)
+    with LasReader(out) as r:
+        assert r.header.version == (1, 2)
+        assert r.header.header_size == 227
+        assert r.point_count() == 10
+        back = r.read_all()
+    np.testing.assert_array_equal(back.get(att.POSITION_3D.name),
+                                  src.get(att.POSITION_3D.name))
