@@ -8,55 +8,64 @@ segmented scans* over sorted, contiguous segments: the segment total lands
 on the segment's FIRST row, and a later key-carrying sort compacts those
 first rows to the front — never indexing by computed positions.
 
-The combiner is the classic segmented-scan monoid
-``(v1,f1) ⊕ (v2,f2) = (f2 ? v2 : v1·v2, f1|f2)`` which is associative for
-any associative ``·``.
+Implementation: Hillis-Steele jump scans — log2(N) unrolled steps of
+(static slice, compare, select, add).  ``jax.lax.associative_scan`` with a
+custom combiner and even native ``cumsum`` compile pathologically slowly on
+the tunneled TPU backend (>25 min for one 4M-row program, measured), while
+slice/select/add fusions compile in seconds; the jump formulation uses only
+those.  After step k each row holds the reduction of up to 2^k rows of its
+segment's suffix, so the segment total lands on the FIRST row.
 """
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 
 __all__ = ["seg_totals_sum", "seg_totals_max", "seg_totals_lexmax2"]
 
 
-def _rev_flags(first: jnp.ndarray) -> jnp.ndarray:
-    """Head flags for the REVERSED scan: the reversed-direction segment
-    starts are the original segments' LAST rows, i.e. rows whose successor
-    starts a new segment."""
-    last = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
-    return last[::-1]
+def _shift_up(x: jnp.ndarray, d: int, fill) -> jnp.ndarray:
+    pad_shape = (d,) + x.shape[1:]
+    return jnp.concatenate([x[d:], jnp.full(pad_shape, fill, x.dtype)])
 
 
-def _rev_seg_scan(vals, first, merge):
-    """Reverse segmented scan; returns per-row array where each segment's
-    FIRST row holds the segment total under ``merge``."""
-    flags = _rev_flags(first)
-    if vals.ndim > 1:
-        flags_b = jnp.broadcast_to(flags[:, None], vals[::-1].shape)
-    else:
-        flags_b = flags
-
-    def combine(a, b):
-        va, fa = a
-        vb, fb = b
-        return jnp.where(fb, vb, merge(va, vb)), fa | fb
-
-    out, _ = jax.lax.associative_scan(combine, (vals[::-1], flags_b), axis=0)
-    return out[::-1]
+def _jump_steps(first: jnp.ndarray):
+    """Yield (d, ok) for d = 1, 2, 4, ...: ``ok[i]`` is True when row i+d
+    exists and lies in row i's segment (no segment start in (i, i+d]).
+    ``blocked`` doubles alongside: blocked_{2d}[i] = blocked_d[i] |
+    blocked_d[i+d] — flags only, no cumsum."""
+    n = first.shape[0]
+    blocked = _shift_up(first, 1, True)  # any start in (i, i+1]
+    d = 1
+    while d < n:
+        yield d, ~blocked
+        blocked = blocked | _shift_up(blocked, d, True)
+        d <<= 1
 
 
 def seg_totals_sum(vals: jnp.ndarray, first: jnp.ndarray) -> jnp.ndarray:
     """Per-segment sums, landed on first-of-segment rows.  ``vals`` is
     (N,) or (N, C); segments are contiguous runs flagged by ``first``."""
-    return _rev_seg_scan(vals, first, lambda a, b: a + b)
+    s = vals
+    for d, ok in _jump_steps(first):
+        if s.ndim > 1:
+            ok = ok[:, None]
+        s = s + jnp.where(ok, _shift_up(s, d, 0), jnp.zeros_like(s))
+    return s
 
 
 def seg_totals_max(vals: jnp.ndarray, first: jnp.ndarray) -> jnp.ndarray:
-    return _rev_seg_scan(vals, first, jnp.maximum)
+    s = vals
+    neutral = (-jnp.inf if jnp.issubdtype(vals.dtype, jnp.floating)
+               else jnp.iinfo(vals.dtype).min)
+    for d, ok in _jump_steps(first):
+        if s.ndim > 1:
+            ok = ok[:, None]
+        s = jnp.maximum(s, jnp.where(ok, _shift_up(s, d, neutral),
+                                     jnp.full_like(s, neutral)))
+    return s
 
 
 def seg_totals_lexmax2(primary: jnp.ndarray, secondary: jnp.ndarray,
@@ -65,16 +74,13 @@ def seg_totals_lexmax2(primary: jnp.ndarray, secondary: jnp.ndarray,
     """Per-segment lexicographic max over (primary, secondary) pairs,
     landed on first rows — the mode-selection primitive (max count, then
     max secondary, i.e. encode tie preference into ``secondary``)."""
-    flags = _rev_flags(first)
-
-    def combine(a, b):
-        pa, sa, fa = a
-        pb, sb, fb = b
-        a_wins = (pa > pb) | ((pa == pb) & (sa >= sb))
-        p = jnp.where(a_wins, pa, pb)
-        s = jnp.where(a_wins, sa, sb)
-        return (jnp.where(fb, pb, p), jnp.where(fb, sb, s), fa | fb)
-
-    p, s, _ = jax.lax.associative_scan(
-        combine, (primary[::-1], secondary[::-1], flags), axis=0)
-    return p[::-1], s[::-1]
+    p, s = primary, secondary
+    pmin = jnp.iinfo(primary.dtype).min
+    smin = jnp.iinfo(secondary.dtype).min
+    for d, ok in _jump_steps(first):
+        p2 = jnp.where(ok, _shift_up(p, d, pmin), pmin)
+        s2 = jnp.where(ok, _shift_up(s, d, smin), smin)
+        cur_wins = (p > p2) | ((p == p2) & (s >= s2))
+        p = jnp.where(cur_wins, p, p2)
+        s = jnp.where(cur_wins, s, s2)
+    return p, s

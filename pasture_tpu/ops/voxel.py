@@ -212,7 +212,6 @@ def voxel_downsample(batch: PointBatch, leaf_size,
         jnp.any(jnp.stack([k[1:] != k[:-1] for k in skeys]), axis=0)
         if nk > 1 else (skeys[0][1:] != skeys[0][:-1])])
     first = new_key & valid
-    seg_id = jnp.cumsum(first.astype(jnp.uint32)) - 1
     num_voxels = jnp.sum(first.astype(jnp.int32))
 
     # per-segment counts (land on first rows)
@@ -273,10 +272,12 @@ def voxel_downsample(batch: PointBatch, leaf_size,
         reduced[n] = _cast_as((-best_neg).astype(jnp.float32), col.dtype)
 
     # ---- compaction sort: first rows to the front --------------------------
-    ckey = jnp.where(first, seg_id, _INVALID_KEY)
+    # the sorted Morton keys themselves order segments; masking non-first
+    # rows to the maximal key pushes them behind every real segment
+    ckeys = tuple(jnp.where(first, k, _INVALID_KEY) for k in skeys)
     cops, clayout = _flatten_cols(reduced)
-    csorted = lax.sort((ckey,) + tuple(cops), num_keys=1)
-    out_data = _unflatten_cols(list(csorted[1:]), clayout)
+    csorted = lax.sort(ckeys + tuple(cops), num_keys=nk)
+    out_data = _unflatten_cols(list(csorted[nk:]), clayout)
 
     return PointBatch(out_data, num_voxels.astype(jnp.int32), batch.schema,
                       batch.meta)
