@@ -26,7 +26,7 @@ from pasture_tpu.layout.schema import PointSchema  # noqa: E402
 from pasture_tpu.parallel import make_mesh, shard_batch, \
     sharded_voxel_downsample  # noqa: E402
 
-N_PER_DEVICE = 1 << 18
+N_PER_DEVICE = 1 << 16
 
 
 def run(n_devices: int, repeats: int = 3) -> float:

@@ -144,31 +144,56 @@ def _sample_distinct(key, iters: int, n: int, k: int) -> jnp.ndarray:
     return idx
 
 
+_HYPO_CHUNK = 128  # hypotheses per chunk: bounds the (N, chunk) dist matrix
+
+
 def _ransac_device(pos: jnp.ndarray, mask: jnp.ndarray, k: int,
                    distance_threshold, num_iterations: int, key):
     n = pos.shape[0]
     nvalid = jnp.maximum(jnp.sum(mask.astype(jnp.int32)), k)
-    idx = _sample_distinct(key, num_iterations, nvalid, k)
+    iters = -(-num_iterations // _HYPO_CHUNK) * _HYPO_CHUNK
+    idx = _sample_distinct(key, iters, nvalid, k)
     samples = pos[idx]                       # (iters, k, 3)
 
-    if k == 3:
-        normal = jnp.cross(samples[:, 1] - samples[:, 0],
-                           samples[:, 2] - samples[:, 0])   # (iters, 3)
-        dcoef = -jnp.sum(normal * samples[:, 0], axis=1)    # (iters,)
-        nrm = jnp.linalg.norm(normal, axis=1, keepdims=True)
-        # distances: |P @ n^T + d| / |n| — one big MXU matmul
-        dist = jnp.abs(pos @ normal.T + dcoef[None, :]) / nrm.T  # (N, iters)
-    else:
-        dvec = samples[:, 1] - samples[:, 0]                # (iters, 3)
-        rel = samples[:, 0][None, :, :] - pos[:, None, :]   # (N, iters, 3)
-        cr = jnp.cross(jnp.broadcast_to(dvec[None], rel.shape), rel)
-        dist = jnp.linalg.norm(cr, axis=-1) / \
-            jnp.linalg.norm(dvec, axis=-1)[None, :]
+    def score_chunk(chunk):                  # (chunk, k, 3) -> counts
+        if k == 3:
+            normal = jnp.cross(chunk[:, 1] - chunk[:, 0],
+                               chunk[:, 2] - chunk[:, 0])   # (c, 3)
+            dcoef = -jnp.sum(normal * chunk[:, 0], axis=1)
+            nrm = jnp.linalg.norm(normal, axis=1, keepdims=True)
+            # distances: |P @ n^T + d| / |n| — an MXU matmul per chunk
+            dist = jnp.abs(pos @ normal.T + dcoef[None, :]) / \
+                jnp.maximum(nrm.T, 1e-30)
+        else:
+            dvec = chunk[:, 1] - chunk[:, 0]
+            rel = chunk[:, 0][None, :, :] - pos[:, None, :]  # (N, c, 3)
+            cr = jnp.cross(jnp.broadcast_to(dvec[None], rel.shape), rel)
+            dist = jnp.linalg.norm(cr, axis=-1) / jnp.maximum(
+                jnp.linalg.norm(dvec, axis=-1)[None, :], 1e-30)
+        inlier = (dist < distance_threshold) & mask[:, None]
+        return jnp.sum(inlier.astype(jnp.int32), axis=0)
 
-    inlier = (dist < distance_threshold) & mask[:, None]
-    counts = jnp.sum(inlier.astype(jnp.int32), axis=0)       # (iters,)
+    # chunk hypotheses so the distance matrix stays (N, _HYPO_CHUNK)
+    chunked = samples.reshape(-1, _HYPO_CHUNK, k, 3)
+    counts = jax.lax.map(score_chunk, chunked).reshape(-1)   # (iters,)
     best = jnp.argmax(counts)
-    return samples[best], counts[best], inlier[:, best]
+    best_sample = samples[best]
+
+    # recompute the winning hypothesis' inlier mask
+    if k == 3:
+        normal = jnp.cross(best_sample[1] - best_sample[0],
+                           best_sample[2] - best_sample[0])
+        d = -normal @ best_sample[0]
+        dist = jnp.abs(pos @ normal + d) / jnp.maximum(
+            jnp.linalg.norm(normal), 1e-30)
+    else:
+        dvec = best_sample[1] - best_sample[0]
+        rel = best_sample[0][None, :] - pos
+        cr = jnp.cross(jnp.broadcast_to(dvec[None], rel.shape), rel)
+        dist = jnp.linalg.norm(cr, axis=-1) / jnp.maximum(
+            jnp.linalg.norm(dvec), 1e-30)
+    inlier_best = (dist < distance_threshold) & mask
+    return best_sample, counts[best], inlier_best
 
 
 def ransac_plane_device(batch: PointBatch, distance_threshold: float,

@@ -121,10 +121,22 @@ def voxelgrid_filter(buffer: Union[HostPointBuffer, PointBatch],
             out = _rust_as_from_f64(np.maximum(mxv, 0.0),
                                     m.dtype.np_component_dtype)
         elif p == "mode":
+            # vectorised per-segment mode: sort (segment, value), run-length
+            # encode, then rank runs by (segment, -length, value) — first
+            # run per segment is the mode with smallest-value tie-break
             out = np.zeros(n_vox, m.dtype.np_component_dtype)
-            for v, (s, e) in enumerate(zip(starts, ends)):
-                vals, counts = np.unique(col[s:e], return_counts=True)
-                out[v] = vals[counts == counts.max()].min()
+            o2 = np.lexsort((col, seg_id))
+            sv, ss = col[o2], seg_id[o2]
+            run_new = np.ones(n, bool)
+            run_new[1:] = (ss[1:] != ss[:-1]) | (sv[1:] != sv[:-1])
+            run_starts = np.flatnonzero(run_new)
+            run_len = np.diff(np.append(run_starts, n))
+            run_seg, run_val = ss[run_starts], sv[run_starts]
+            o3 = np.lexsort((run_val, -run_len, run_seg))
+            seg_sorted = run_seg[o3]
+            firsts = np.ones(len(o3), bool)
+            firsts[1:] = seg_sorted[1:] != seg_sorted[:-1]
+            out[seg_sorted[firsts]] = run_val[o3][firsts]
         else:
             raise ValueError(f"unknown policy {p!r} for {m.name!r}")
         out_cols[m.name] = np.ascontiguousarray(
