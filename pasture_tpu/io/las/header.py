@@ -140,6 +140,8 @@ class LasHeader:
     evlr_start: int = 0
     num_evlrs: int = 0
     vlrs: List[LasVlr] = dataclasses.field(default_factory=list)
+    #: extended VLRs (LAS 1.4, stored after the point data)
+    evlrs: List[LasVlr] = dataclasses.field(default_factory=list)
     #: raw bytes between the last VLR and the point data (reference
     #: ``vlr_padding``, raw_readers.rs:198-218)
     vlr_padding: bytes = b""
@@ -191,6 +193,14 @@ class LasHeader:
             vlrs.append(vlr)
         vlr_padding = bytes(buf[vpos:offset_to_points]) if offset_to_points > vpos else b""
 
+        # extended VLRs live after the point data (LAS 1.4)
+        evlrs = []
+        if num_evlrs and 0 < evlr_start < len(buf):
+            epos = evlr_start
+            for _ in range(num_evlrs):
+                evlr, epos = LasVlr.parse(buf, epos, extended=True)
+                evlrs.append(evlr)
+
         extra = record_length - POINT_FORMAT_SIZES[format_number]
         if extra < 0:
             raise ValueError(
@@ -216,7 +226,7 @@ class LasHeader:
             is_compressed=is_compressed,
             waveform_data_start=waveform_start,
             evlr_start=evlr_start, num_evlrs=num_evlrs,
-            vlrs=vlrs, vlr_padding=vlr_padding,
+            vlrs=vlrs, evlrs=evlrs, vlr_padding=vlr_padding,
         )
 
     # ---- serialisation --------------------------------------------------------

@@ -161,6 +161,13 @@ class LasWriter(PointWriter):
         """Finalise + rewrite the header (reference raw_writers.rs:184-201)."""
         if self._laz is not None:
             self._laz.done()
+        evlr_start = self.header.evlr_start
+        if self.header.evlrs and not self._flushed_any:
+            # extended VLRs go after the point data (LAS 1.4)
+            self._stream.seek(0, 2)
+            evlr_start = self._stream.tell()
+            for evlr in self.header.evlrs:
+                self._stream.write(evlr.serialize(extended=True))
         finite = self._count > 0
         self.header = dataclasses.replace(
             self.header,
@@ -168,6 +175,8 @@ class LasWriter(PointWriter):
             points_by_return=tuple(int(c) for c in self._by_return),
             bounds=(tuple(self._min if finite else np.zeros(3)),
                     tuple(self._max if finite else np.zeros(3))),
+            evlr_start=evlr_start,
+            num_evlrs=len(self.header.evlrs),
         )
         pos = self._stream.tell()
         self._stream.seek(0)

@@ -278,3 +278,42 @@ def test_write_las_12_version(tmp_path, reference_test_data):
         back = r.read_all()
     np.testing.assert_array_equal(back.get(att.POSITION_3D.name),
                                   src.get(att.POSITION_3D.name))
+
+
+def test_evlr_write_read_roundtrip(tmp_path, reference_test_data):
+    """Extended VLRs after the point data (LAS 1.4)."""
+    from pasture_tpu.io.las.header import LasVlr
+    src = read_all(f"{reference_test_data}/10_points_format_6.las")
+    from pasture_tpu.io.las.writer import default_las_header
+    header = default_las_header(src.schema)
+    header.evlrs.append(LasVlr("pasture_tpu", 42, "roundtrip",
+                               b"\x01\x02\x03" * 100))
+    out = tmp_path / "evlr.las"
+    with LasWriter(out, src.schema, header=header) as w:
+        w.write(src)
+    with LasReader(out) as r:
+        assert len(r.header.evlrs) == 1
+        e = r.header.evlrs[0]
+        assert (e.user_id, e.record_id) == ("pasture_tpu", 42)
+        assert e.data == b"\x01\x02\x03" * 100
+        back = r.read_all()
+    np.testing.assert_array_equal(back.get(att.POSITION_3D.name),
+                                  src.get(att.POSITION_3D.name))
+
+
+def test_unknown_attributes_dropped_on_write(tmp_path, rng):
+    """Unsupported attributes silently drop (reference las_io.rs:102-151)."""
+    from pasture_tpu.layout.dtypes import F32
+    schema = PointSchema.from_attributes([
+        att.POSITION_3D, PointAttribute("MyCustomThing", F32)])
+    n = 20
+    from pasture_tpu.buffers.host import HostPointBuffer
+    buf = HostPointBuffer.from_columns(schema, {
+        att.POSITION_3D.name: rng.uniform(-1, 1, (n, 3)),
+        "MyCustomThing": rng.normal(size=n).astype(np.float32)})
+    out = tmp_path / "drop.las"
+    write_all(buf, out)
+    back = read_all(out)
+    assert "MyCustomThing" not in back.schema.names
+    np.testing.assert_allclose(back.get(att.POSITION_3D.name),
+                               buf.get(att.POSITION_3D.name), atol=0.001)
