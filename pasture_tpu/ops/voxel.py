@@ -83,7 +83,11 @@ _WAVEFORM_NAMES = frozenset({
     att.WAVEFORM_PARAMETERS.name,
 })
 
-_INVALID_KEY = jnp.uint32(0xFFFFFFFF)
+import numpy as _np
+
+# numpy scalar, NOT jnp: a module-level jnp constant would become a leaked
+# tracer if this module were first imported inside a jit trace
+_INVALID_KEY = _np.uint32(0xFFFFFFFF)
 
 
 def _cast_as(x: jnp.ndarray, dtype) -> jnp.ndarray:
