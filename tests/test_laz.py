@@ -15,6 +15,7 @@ from pasture_tpu.io.las.header import LasPointFormat
 from pasture_tpu.io.las.layout import point_schema_from_las_format
 from pasture_tpu.buffers.host import HostPointBuffer
 from pasture_tpu.layout import attributes as att
+from pasture_tpu.layout.schema import PointSchema
 
 pytestmark = pytest.mark.skipif(
     __import__("pasture_tpu.native.laszip", fromlist=["_native"])._native()
@@ -100,3 +101,53 @@ def test_laz_multichunk_roundtrip_and_seek():
     np.testing.assert_allclose(
         got.get(att.POSITION_3D.name),
         buf.get(att.POSITION_3D.name)[60_001:60_008], atol=0.001)
+
+
+def test_laz_extra_bytes_roundtrip(tmp_path):
+    """BYTE v2 item codec: extra-bytes attributes through LAZ."""
+    from pasture_tpu.io.las.writer import default_las_header
+    from pasture_tpu.layout.attributes import PointAttribute
+    from pasture_tpu.layout import dtypes as dt
+
+    rng = np.random.default_rng(9)
+    n = 5000
+    schema = PointSchema.from_attributes([
+        att.POSITION_3D, att.INTENSITY,
+        PointAttribute("Reflectance", dt.U32),
+        PointAttribute("Deviation", dt.I16),
+    ])
+    from pasture_tpu.buffers.host import HostPointBuffer
+    buf = HostPointBuffer.from_columns(schema, {
+        att.POSITION_3D.name: np.round(rng.uniform(-50, 50, (n, 3)), 3),
+        att.INTENSITY.name: rng.integers(0, 1000, n).astype(np.uint16),
+        "Reflectance": rng.integers(0, 2**20, n).astype(np.uint32),
+        "Deviation": rng.integers(-500, 500, n).astype(np.int16),
+    })
+    out = tmp_path / "eb.laz"
+    with LasWriter(out, schema, write_extra_bytes=True, compressed=True) as w:
+        w.write(buf)
+    with LasReader(out) as r:
+        assert r.header.is_compressed
+        eb = r.las_metadata().extra_bytes_attributes()
+        assert {a.name for a in eb} == {"Reflectance", "Deviation"}
+        back = r.read_all()
+    np.testing.assert_array_equal(back.get("Reflectance"),
+                                  buf.get("Reflectance"))
+    np.testing.assert_array_equal(back.get("Deviation"),
+                                  buf.get("Deviation"))
+    np.testing.assert_allclose(back.get(att.POSITION_3D.name),
+                               buf.get(att.POSITION_3D.name), atol=0.001)
+
+
+def test_laz_seek_and_partial_reads():
+    buf = _big_cloud(60_000, fmt=0)
+    stream = io.BytesIO()
+    with LasWriter(stream, buf.schema, compressed=True) as w:
+        w.write(buf)
+    r = LasReader(io.BytesIO(stream.getvalue()), compressed=True)
+    # chunk-spanning read: 49_990 .. 50_020 crosses the 50k chunk boundary
+    r.seek_point(49_990)
+    got = r.read(30)
+    np.testing.assert_allclose(
+        got.get(att.POSITION_3D.name),
+        buf.get(att.POSITION_3D.name)[49_990:50_020], atol=0.001)
