@@ -11,12 +11,18 @@ Usage:
 """
 
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
 
 import jax  # noqa: E402
+
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    # env alone is too late here: a sitecustomize hook may have registered
+    # a TPU plugin already — force the platform before any computation
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
@@ -26,7 +32,7 @@ from pasture_tpu.layout.schema import PointSchema  # noqa: E402
 from pasture_tpu.parallel import make_mesh, shard_batch, \
     sharded_voxel_downsample  # noqa: E402
 
-N_PER_DEVICE = 1 << 16
+N_PER_DEVICE = 1 << 14
 
 
 def run(n_devices: int, repeats: int = 3) -> float:
@@ -58,7 +64,7 @@ def run(n_devices: int, repeats: int = 3) -> float:
 
 def main() -> None:
     max_dev = len(jax.devices())
-    sizes = [d for d in (1, 2, 4, 8, 16) if d <= max_dev]
+    sizes = [d for d in (1, 2, 4, 8) if d <= max_dev]
     base = None
     for d in sizes:
         pps = run(d)

@@ -22,6 +22,7 @@ from .base import (  # noqa: F401
     write_all,
 )
 from .ascii import AsciiReader, AsciiWriter  # noqa: F401
+from .device import batch_positions, read_batch  # noqa: F401
 from .las import LasReader, LasWriter  # noqa: F401
 from .tiles3d import PntsReader, PntsWriter  # noqa: F401
 
