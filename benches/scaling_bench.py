@@ -74,7 +74,7 @@ def main() -> None:
         print(json.dumps({
             "metric": "sharded_voxelize_throughput",
             "devices": d,
-            "value": round(pps / 1e6, 2),
+            "value": round(pps / 1e6, 3),
             "unit": "Mpoints/s",
             "efficiency_vs_1dev": round(eff, 3),
         }))

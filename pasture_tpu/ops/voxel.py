@@ -203,12 +203,23 @@ def voxel_downsample(batch: PointBatch, leaf_size,
     cap = batch.capacity
 
     # ---- sort 1: keys carry every non-mode payload column ------------------
+    # the FIRST mode column fuses into this sort as an extra minor key:
+    # its values become contiguous runs within segments for free (mean/max
+    # reductions only need key-grouping, which an extra key preserves)
+    mode_names = [n for n, c in batch.data.items()
+                  if policy_of(n, c) == "mode"]
+    fused_mode = mode_names[0] if mode_names else None
     carry_data = {name: col for name, col in batch.data.items()
                   if policy_of(name, col) != "mode"}
     ops, layout = _flatten_cols(carry_data)
-    sorted_all = lax.sort(tuple(keys) + tuple(ops), num_keys=nk)
+    extra_keys = ((batch.data[fused_mode].astype(jnp.int32),)
+                  if fused_mode else ())
+    sorted_all = lax.sort(tuple(keys) + extra_keys + tuple(ops),
+                          num_keys=nk + len(extra_keys))
     skeys = sorted_all[:nk]
-    sorted_cols = _unflatten_cols(list(sorted_all[nk:]), layout)
+    fused_vals = sorted_all[nk] if fused_mode else None
+    sorted_cols = _unflatten_cols(
+        list(sorted_all[nk + len(extra_keys):]), layout)
 
     valid = jnp.arange(cap, dtype=jnp.int32) < batch.count  # sorted prefix
     new_key = jnp.concatenate([
@@ -218,23 +229,30 @@ def voxel_downsample(batch: PointBatch, leaf_size,
     first = new_key & valid
     num_voxels = jnp.sum(first.astype(jnp.int32))
 
-    # per-segment counts (land on first rows)
-    ones = jnp.where(valid, 1.0, 0.0).astype(jnp.float32)
-    counts32 = seg_totals_sum(ones, first)
-
     reduced: Dict[str, jnp.ndarray] = {}
 
     # ---- mean: one batched scan per accumulator dtype ----------------------
+    # the per-segment count rides as an extra column of the first stack
+    # (one scan covers sums AND counts)
+    ones = jnp.where(valid, 1.0, 0.0).astype(jnp.float32)
+    counts32 = None
     for acc_dtype in (jnp.float32, jnp.float64):
         group = [(n, c) for n, c in sorted_cols.items()
                  if policy_of(n, batch.data[n]) == "mean"
                  and ((c.dtype == jnp.float64) == (acc_dtype == jnp.float64))]
-        if not group:
+        if not group and not (acc_dtype == jnp.float32 and counts32 is None):
             continue
         comps, glayout = _flatten_cols(dict(group))
-        stacked = jnp.stack([c.astype(acc_dtype) for c in comps], axis=1)
+        cols_acc = [c.astype(acc_dtype) for c in comps]
+        add_counts = counts32 is None
+        if add_counts:
+            cols_acc.append(ones.astype(acc_dtype))
+        stacked = jnp.stack(cols_acc, axis=1)
         stacked = jnp.where(valid[:, None], stacked, 0)
         sums = seg_totals_sum(stacked, first)
+        if add_counts:
+            counts32 = sums[:, -1].astype(jnp.float32)
+            sums = sums[:, :-1]
         cnt = jnp.maximum(counts32, 1.0).astype(acc_dtype)[:, None]
         means = sums / cnt
         cols = _unflatten_cols([means[:, i] for i in range(means.shape[1])],
@@ -252,18 +270,8 @@ def voxel_downsample(batch: PointBatch, leaf_size,
         m = seg_totals_max(v, first)
         reduced[n] = _cast_as(jnp.maximum(m, 0.0), batch.data[n].dtype)
 
-    # ---- mode: per column, its own (key, value) sort + run-length scans ----
-    for n, col in batch.data.items():
-        if policy_of(n, col) != "mode":
-            continue
-        v32 = col.astype(jnp.int32)
-        s = lax.sort(tuple(keys) + (v32,), num_keys=nk + 1)
-        sv = s[nk]
-        sk = s[:nk]
-        nk_new = jnp.concatenate([
-            jnp.ones((1,), bool),
-            jnp.any(jnp.stack([k[1:] != k[:-1] for k in sk]), axis=0)
-            if nk > 1 else (sk[0][1:] != sk[0][:-1])])
+    # ---- mode: run-length scans over (key, value)-sorted values ------------
+    def _mode_from_sorted(sv, nk_new):
         run_new = nk_new | jnp.concatenate([jnp.ones((1,), bool),
                                             sv[1:] != sv[:-1]])
         f2 = nk_new & valid
@@ -273,7 +281,25 @@ def voxel_downsample(batch: PointBatch, leaf_size,
         primary = jnp.where(runs, run_len, -1)
         secondary = jnp.where(runs, -sv, jnp.iinfo(jnp.int32).min)
         _, best_neg = seg_totals_lexmax2(primary, secondary, f2)
-        reduced[n] = _cast_as((-best_neg).astype(jnp.float32), col.dtype)
+        return -best_neg
+
+    for n in mode_names:
+        col = batch.data[n]
+        if n == fused_mode:
+            # already value-ordered by the fused extra key of sort 1
+            reduced[n] = _cast_as(
+                _mode_from_sorted(fused_vals, new_key).astype(jnp.float32),
+                col.dtype)
+            continue
+        s = lax.sort(tuple(keys) + (col.astype(jnp.int32),), num_keys=nk + 1)
+        sv = s[nk]
+        sk = s[:nk]
+        nk_new = jnp.concatenate([
+            jnp.ones((1,), bool),
+            jnp.any(jnp.stack([k[1:] != k[:-1] for k in sk]), axis=0)
+            if nk > 1 else (sk[0][1:] != sk[0][:-1])])
+        reduced[n] = _cast_as(
+            _mode_from_sorted(sv, nk_new).astype(jnp.float32), col.dtype)
 
     # ---- compaction sort: first rows to the front --------------------------
     # the sorted Morton keys themselves order segments; masking non-first
