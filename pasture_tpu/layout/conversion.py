@@ -51,7 +51,17 @@ def _float_to_int_saturating(x: np.ndarray, dst: np.dtype) -> np.ndarray:
 
 
 def rust_as_cast(x: np.ndarray, dst: np.dtype) -> np.ndarray:
-    """Cast an array with Rust ``as`` operator semantics."""
+    """Cast an array with Rust ``as`` operator semantics.
+
+    Float -> int truncates toward zero, saturates at the type bounds, and
+    maps NaN to 0 (attribute_conversion.rs:188-264)::
+
+        >>> rust_as_cast(np.array([1.9, -1.9, 300.0, float("nan")]),
+        ...              np.int8).tolist()
+        [1, -1, 127, 0]
+        >>> rust_as_cast(np.array([300], np.int16), np.uint8).tolist()  # wraps
+        [44]
+    """
     x = np.asarray(x)
     dst = np.dtype(dst)
     if x.dtype == dst:

@@ -63,6 +63,21 @@ class PointSchema:
       its natural alignment; record size rounded up to the max alignment.
     * packed ``N`` — field alignment is ``min(natural, N)``; with ``N == 1``
       the record is the tight byte concatenation (LAS wire records).
+
+    Offset semantics match ``PointLayout::add_attribute``
+    (point_layout.rs:767-777)::
+
+        >>> from pasture_tpu.layout import attributes as att
+        >>> s = PointSchema.from_attributes(
+        ...     [att.CLASSIFICATION, att.POSITION_3D, att.INTENSITY])
+        >>> s.offset_of("Classification"), s.offset_of("Position3D")
+        (0, 8)
+        >>> s.point_size  # 8 + 24 + 2 -> padded to alignment 8
+        40
+        >>> packed = PointSchema.from_attributes_packed(
+        ...     [att.CLASSIFICATION, att.POSITION_3D, att.INTENSITY])
+        >>> packed.offset_of("Position3D"), packed.point_size
+        (1, 27)
     """
 
     def __init__(self) -> None:

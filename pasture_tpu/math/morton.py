@@ -20,7 +20,13 @@ __all__ = [
 
 def expand_bits_by_3(x) -> np.ndarray:
     """Spread the low 21 bits of ``x`` so each lands 3 positions apart
-    (bitmanip.rs:2-10 semantics, vectorised)."""
+    (bitmanip.rs:2-10 semantics, vectorised)::
+
+        >>> hex(int(expand_bits_by_3(0b111)))
+        '0x49'
+        >>> int(morton_encode_u64(1, 0, 0)), int(morton_encode_u64(0, 1, 0))
+        (1, 2)
+    """
     v = np.asarray(x, dtype=np.uint64) & np.uint64(0x1FFFFF)
     v = (v | (v << np.uint64(32))) & np.uint64(0x1F00000000FFFF)
     v = (v | (v << np.uint64(16))) & np.uint64(0x1F0000FF0000FF)
