@@ -45,9 +45,20 @@ def _jump_steps(first: jnp.ndarray):
         d <<= 1
 
 
-def seg_totals_sum(vals: jnp.ndarray, first: jnp.ndarray) -> jnp.ndarray:
-    """Per-segment sums, landed on first-of-segment rows.  ``vals`` is
-    (N,) or (N, C); segments are contiguous runs flagged by ``first``."""
+def seg_totals_sum(vals, first: jnp.ndarray):
+    """Per-segment sums, landed on first-of-segment rows.
+
+    ``vals`` is an (N,) array, an (N, C) array, or a LIST of (N,) arrays
+    (preferred on TPU: 1-D arrays use the full 128-lane vector layout,
+    while an (N, small-C) array pads C to 128 lanes — measured 20ms vs
+    ~0.5ms/column for 4M rows).  Lists share one blocked-flag ladder.
+    """
+    if isinstance(vals, (list, tuple)):
+        cols = list(vals)
+        for d, ok in _jump_steps(first):
+            cols = [c + jnp.where(ok, _shift_up(c, d, 0), jnp.zeros_like(c))
+                    for c in cols]
+        return cols
     s = vals
     for d, ok in _jump_steps(first):
         if s.ndim > 1:

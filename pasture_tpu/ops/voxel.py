@@ -243,20 +243,17 @@ def voxel_downsample(batch: PointBatch, leaf_size,
         if not group and not (acc_dtype == jnp.float32 and counts32 is None):
             continue
         comps, glayout = _flatten_cols(dict(group))
-        cols_acc = [c.astype(acc_dtype) for c in comps]
+        # scan as a LIST of 1-D columns (full lane utilization; see segscan)
+        cols_acc = [jnp.where(valid, c.astype(acc_dtype), 0) for c in comps]
         add_counts = counts32 is None
         if add_counts:
             cols_acc.append(ones.astype(acc_dtype))
-        stacked = jnp.stack(cols_acc, axis=1)
-        stacked = jnp.where(valid[:, None], stacked, 0)
-        sums = seg_totals_sum(stacked, first)
+        sums = seg_totals_sum(cols_acc, first)
         if add_counts:
-            counts32 = sums[:, -1].astype(jnp.float32)
-            sums = sums[:, :-1]
-        cnt = jnp.maximum(counts32, 1.0).astype(acc_dtype)[:, None]
-        means = sums / cnt
-        cols = _unflatten_cols([means[:, i] for i in range(means.shape[1])],
-                               glayout)
+            counts32 = sums[-1].astype(jnp.float32)
+            sums = sums[:-1]
+        cnt = jnp.maximum(counts32, 1.0).astype(acc_dtype)
+        cols = _unflatten_cols([s / cnt for s in sums], glayout)
         for n, c in cols.items():
             reduced[n] = _cast_as(c, batch.data[n].dtype)
 
