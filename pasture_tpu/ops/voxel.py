@@ -215,7 +215,8 @@ def voxel_downsample(batch: PointBatch, leaf_size,
     extra_keys = ((batch.data[fused_mode].astype(jnp.int32),)
                   if fused_mode else ())
     sorted_all = lax.sort(tuple(keys) + extra_keys + tuple(ops),
-                          num_keys=nk + len(extra_keys))
+                          num_keys=nk + len(extra_keys),
+                          is_stable=False)
     skeys = sorted_all[:nk]
     fused_vals = sorted_all[nk] if fused_mode else None
     sorted_cols = _unflatten_cols(
@@ -288,7 +289,8 @@ def voxel_downsample(batch: PointBatch, leaf_size,
                 _mode_from_sorted(fused_vals, new_key).astype(jnp.float32),
                 col.dtype)
             continue
-        s = lax.sort(tuple(keys) + (col.astype(jnp.int32),), num_keys=nk + 1)
+        s = lax.sort(tuple(keys) + (col.astype(jnp.int32),),
+                     num_keys=nk + 1, is_stable=False)
         sv = s[nk]
         sk = s[:nk]
         nk_new = jnp.concatenate([
@@ -303,7 +305,8 @@ def voxel_downsample(batch: PointBatch, leaf_size,
     # rows to the maximal key pushes them behind every real segment
     ckeys = tuple(jnp.where(first, k, _INVALID_KEY) for k in skeys)
     cops, clayout = _flatten_cols(reduced)
-    csorted = lax.sort(ckeys + tuple(cops), num_keys=nk)
+    csorted = lax.sort(ckeys + tuple(cops), num_keys=nk,
+                       is_stable=False)
     out_data = _unflatten_cols(list(csorted[nk:]), clayout)
 
     return PointBatch(out_data, num_voxels.astype(jnp.int32), batch.schema,
