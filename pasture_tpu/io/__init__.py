@@ -37,3 +37,8 @@ def _register_formats() -> None:
 
 
 _register_formats()
+from .streaming import (  # noqa: F401,E402
+    stream_batches,
+    streaming_bounds,
+    streaming_voxel_downsample,
+)
