@@ -225,6 +225,16 @@ class HostPointBuffer:
         }
         return cls(schema, cols, validate=False)
 
+    # ---- column-wise construction ---------------------------------------------
+    @classmethod
+    def begin_push_attributes(cls, schema: PointSchema) -> "AttributePusher":
+        """Column-wise incremental construction (reference
+        ``HashMapBuffer::begin_push_attributes`` and its pusher,
+        point_buffer.rs:1290-1474): push value ranges per attribute in any
+        order; ``done()`` validates that every column has the same length.
+        """
+        return AttributePusher(schema)
+
     # ---- schema conversion -----------------------------------------------------
     def convert_schema(self, to_schema: PointSchema,
                        converter: Optional[SchemaConverter] = None,
@@ -239,3 +249,40 @@ class HostPointBuffer:
 
     def __repr__(self) -> str:
         return f"HostPointBuffer({len(self)} points, {self.schema!r})"
+
+
+class AttributePusher:
+    """Accumulates per-attribute value ranges; see
+    :meth:`HostPointBuffer.begin_push_attributes`."""
+
+    def __init__(self, schema: PointSchema) -> None:
+        self.schema = schema
+        self._parts: Dict[str, list] = {m.name: [] for m in schema.members}
+
+    def push_attribute_range(self, attribute: Union[str, PointAttribute],
+                             values: np.ndarray) -> "AttributePusher":
+        name = attribute if isinstance(attribute, str) else attribute.name
+        m = self.schema.member(name)
+        arr = np.asarray(values, m.dtype.np_component_dtype)
+        if arr.shape[1:] != m.dtype.np_shape:
+            arr = arr.reshape((-1,) + m.dtype.np_shape)
+        self._parts[name].append(arr)
+        return self
+
+    def done(self) -> HostPointBuffer:
+        """Validates equal column lengths (the reference's pusher panics on
+        mismatch) and returns the buffer."""
+        cols = {}
+        length = None
+        for name, parts in self._parts.items():
+            col = (np.concatenate(parts) if parts
+                   else np.zeros((0,) + self.schema.member(name).dtype.np_shape,
+                                 self.schema.member(name).dtype.np_component_dtype))
+            if length is None:
+                length = len(col)
+            elif len(col) != length:
+                raise ValueError(
+                    f"attribute {name!r} has {len(col)} values, expected "
+                    f"{length} — all columns must receive the same count")
+            cols[name] = np.ascontiguousarray(col)
+        return HostPointBuffer(self.schema, cols, validate=False)

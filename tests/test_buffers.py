@@ -112,3 +112,29 @@ class TestPointBatch:
             np.asarray(batch.get("Intensity"))[::-1])
         padded = batch.pad_to(16)
         assert padded.capacity == 16 and int(padded.count) == 8
+
+
+def test_attribute_pusher(rng):
+    from pasture_tpu.buffers.host import HostPointBuffer
+    from pasture_tpu.layout import attributes as att
+    from pasture_tpu.layout.schema import PointSchema
+    import numpy as np
+    import pytest
+
+    schema = PointSchema.from_attributes([att.POSITION_3D, att.INTENSITY])
+    pusher = HostPointBuffer.begin_push_attributes(schema)
+    pusher.push_attribute_range(att.POSITION_3D, rng.uniform(0, 1, (5, 3)))
+    pusher.push_attribute_range(att.INTENSITY,
+                                rng.integers(0, 100, 3).astype(np.uint16))
+    pusher.push_attribute_range(att.INTENSITY,
+                                rng.integers(0, 100, 2).astype(np.uint16))
+    pusher.push_attribute_range(att.POSITION_3D, rng.uniform(0, 1, (0, 3)))
+    buf = pusher.done()
+    assert len(buf) == 5
+
+    bad = HostPointBuffer.begin_push_attributes(schema)
+    bad.push_attribute_range(att.POSITION_3D, rng.uniform(0, 1, (4, 3)))
+    bad.push_attribute_range(att.INTENSITY,
+                             rng.integers(0, 100, 3).astype(np.uint16))
+    with pytest.raises(ValueError, match="same count"):
+        bad.done()
