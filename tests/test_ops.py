@@ -178,3 +178,24 @@ def test_morton_sort_groups_cells(rng):
     sorted_batch, (hi, lo), perm = morton_sort(batch, cells)
     keys = np.asarray(hi).astype(np.uint64) << np.uint64(32) | np.asarray(lo)
     assert np.all(keys[:-1] <= keys[1:])
+
+
+def test_compact_batch_filters_in_order(rng):
+    from pasture_tpu.ops import compact_batch, filter_batch
+
+    host, batch = _make_batch(rng, n=100, cap=128)
+    cls = np.asarray(batch.data[att.CLASSIFICATION.name])[:100]
+    keep = batch.data[att.CLASSIFICATION.name] < 8
+    out = jax.jit(compact_batch)(batch, keep)
+    want = np.flatnonzero(cls < 8)
+    assert int(out.count) == len(want)
+    got = out.to_host()
+    # order-preserving, exact column match (HashMapBuffer::filter parity)
+    np.testing.assert_array_equal(got.get(att.CLASSIFICATION), cls[want])
+    np.testing.assert_allclose(
+        got.get(att.POSITION_3D),
+        host.get(att.POSITION_3D)[want], rtol=1e-6)
+
+    # padded rows never survive, even if the mask says keep
+    out2 = filter_batch(batch, lambda d: jnp.ones(128, bool))
+    assert int(out2.count) == 100
