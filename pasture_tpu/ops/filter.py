@@ -7,10 +7,9 @@ TPU-native counterpart of pasture's ``HashMapBuffer::filter`` /
 
 On TPU, compaction by computed destination index is a scatter (measured
 ~250ms for 4M rows on v5e — see ops/segscan.py); instead the kept rows are
-moved to the front with ONE unique-key sort: key = row index for kept rows,
-row index + capacity for dropped rows.  Unique keys make the sort order
-deterministic without stability, and relative order of the kept rows is
-preserved (matching the reference's order-preserving filter).
+moved to the front by staged power-of-two shifts (ops/compact.py), which
+stream at HBM speed (~0.2ms per 4M column) and preserve relative order —
+matching the reference's order-preserving filter.
 """
 
 from __future__ import annotations
@@ -18,9 +17,9 @@ from __future__ import annotations
 from typing import Callable, Dict
 
 import jax.numpy as jnp
-from jax import lax
 
 from ..buffers.device import PointBatch
+from .compact import compact_columns
 from .voxel import _flatten_cols, _unflatten_cols
 
 __all__ = ["compact_batch", "filter_batch"]
@@ -30,14 +29,10 @@ def compact_batch(batch: PointBatch, keep: jnp.ndarray) -> PointBatch:
     """Move rows where ``keep`` is True to the front, in order; ``count``
     becomes the number of kept valid rows.  ``keep`` is a (capacity,) bool
     array; rows past ``batch.count`` are dropped regardless."""
-    cap = batch.capacity
     keep = keep & batch.valid_mask()
-    iota = jnp.arange(cap, dtype=jnp.uint32)
-    key = jnp.where(keep, iota, iota + jnp.uint32(cap))
     ops, layout = _flatten_cols(batch.data)
-    out = lax.sort((key,) + tuple(ops), num_keys=1, is_stable=False)
-    data = _unflatten_cols(list(out[1:]), layout)
-    new_count = jnp.sum(keep.astype(jnp.int32))
+    compacted, new_count = compact_columns(ops, keep)
+    data = _unflatten_cols(compacted, layout)
     return PointBatch(data, new_count, batch.schema, batch.meta)
 
 

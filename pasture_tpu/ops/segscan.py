@@ -2,47 +2,79 @@
 
 TPU rationale: XLA lowers ``segment_sum``-style scatters and large gathers
 to element-at-a-time loops (measured ~250ms for 4M rows on v5e), while
-sorts and ``associative_scan`` stream sequentially through HBM.  All
-segmented reductions in the voxel pipeline therefore run as *reverse
-segmented scans* over sorted, contiguous segments: the segment total lands
-on the segment's FIRST row, and a later key-carrying sort compacts those
-first rows to the front — never indexing by computed positions.
+sorts and shift/select passes stream through HBM.  All segmented
+reductions in the voxel pipeline therefore run as *reverse segmented
+scans* over sorted, contiguous segments: the segment total lands on the
+segment's FIRST row, and a staged-shift compaction (ops/compact.py) moves
+those first rows to the front — never indexing by computed positions.
 
-Implementation: Hillis-Steele jump scans — log2(N) unrolled steps of
-(static slice, compare, select, add).  ``jax.lax.associative_scan`` with a
-custom combiner and even native ``cumsum`` compile pathologically slowly on
-the tunneled TPU backend (>25 min for one 4M-row program, measured), while
-slice/select/add fusions compile in seconds; the jump formulation uses only
-those.  After step k each row holds the reduction of up to 2^k rows of its
-segment's suffix, so the segment total lands on the FIRST row.
+Implementation: Hillis-Steele jump scans (steps d = 1, 2, 4, ... of
+shift/compare/select/add) inside a ``lax.while_loop`` that EXITS as soon
+as every row is "blocked" (a segment start lies within (i, i+d]), i.e.
+after ``ceil(log2(max segment length))`` steps instead of ``log2(N)``.
+Real point clouds have short voxel segments (a handful of points), so
+this turns a 22-pass ladder into a 2-5 pass one (measured: the mean
+reductions of the 4M-row bench drop from 8.9ms to ~2ms).  Shifts use a
+concat + ``lax.dynamic_slice`` (dynamic start, static size) because the
+step size is now a traced value.
+
+``jax.lax.associative_scan`` with a custom combiner and native ``cumsum``
+compile pathologically slowly on the tunneled TPU backend (>25 min for
+one 4M-row program, measured); slice/select/add formulations compile in
+seconds.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import List, Sequence, Tuple
 
 import jax.numpy as jnp
+from jax import lax
 
 __all__ = ["seg_totals_sum", "seg_totals_max", "seg_totals_lexmax2"]
 
 
-def _shift_up(x: jnp.ndarray, d: int, fill) -> jnp.ndarray:
-    pad_shape = (d,) + x.shape[1:]
-    return jnp.concatenate([x[d:], jnp.full(pad_shape, fill, x.dtype)])
+def _dshift_up(x: jnp.ndarray, d: jnp.ndarray, fill) -> jnp.ndarray:
+    """x[i+d] with ``fill`` past the end; ``d`` may be a traced scalar."""
+    n = x.shape[0]
+    pad = jnp.full((n,) + x.shape[1:], fill, x.dtype)
+    return lax.dynamic_slice_in_dim(jnp.concatenate([x, pad]), d, n)
 
 
-def _jump_steps(first: jnp.ndarray):
-    """Yield (d, ok) for d = 1, 2, 4, ...: ``ok[i]`` is True when row i+d
-    exists and lies in row i's segment (no segment start in (i, i+d]).
-    ``blocked`` doubles alongside: blocked_{2d}[i] = blocked_d[i] |
-    blocked_d[i+d] — flags only, no cumsum."""
+def _match_vma(ref: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """No-op select making ``x`` depend on ``ref``: under ``shard_map``,
+    while_loop carries must have consistent varying manual axes, and
+    constant-valued columns (e.g. the all-ones counts column) would
+    otherwise enter the carry as unvarying.  XLA folds select(p, x, x)
+    away at compile time."""
+    return jnp.where(jnp.broadcast_to(ref, x.shape), x, x)
+
+
+def _ladder_while(first: jnp.ndarray, cols, combine, fills) -> List:
+    """Run ``cols = combine(cols, shifted_cols, ok)`` for d = 1, 2, 4...
+    until every row is blocked (or d >= n).  ``cols`` is a sequence;
+    ``combine`` receives equal-length tuples plus the ``ok`` mask;
+    ``fills`` are the per-column shift-in values."""
     n = first.shape[0]
-    blocked = _shift_up(first, 1, True)  # any start in (i, i+1]
-    d = 1
-    while d < n:
-        yield d, ~blocked
-        blocked = blocked | _shift_up(blocked, d, True)
-        d <<= 1
+    cols = [_match_vma(first, c) for c in cols]
+    blocked0 = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
+    fills = tuple(fills)
+
+    def cond(state):
+        d, blocked, _ = state
+        return (d < n) & ~jnp.all(blocked)
+
+    def body(state):
+        d, blocked, cols = state
+        ok = ~blocked
+        shifted = tuple(_dshift_up(c, d, f) for c, f in zip(cols, fills))
+        cols = combine(cols, shifted, ok)
+        blocked = blocked | _dshift_up(blocked, d, True)
+        return (d * 2, blocked, cols)
+
+    _, _, out = lax.while_loop(
+        cond, body, (jnp.asarray(1, jnp.int32), blocked0, tuple(cols)))
+    return list(out)
 
 
 def seg_totals_sum(vals, first: jnp.ndarray):
@@ -53,30 +85,30 @@ def seg_totals_sum(vals, first: jnp.ndarray):
     while an (N, small-C) array pads C to 128 lanes — measured 20ms vs
     ~0.5ms/column for 4M rows).  Lists share one blocked-flag ladder.
     """
-    if isinstance(vals, (list, tuple)):
-        cols = list(vals)
-        for d, ok in _jump_steps(first):
-            cols = [c + jnp.where(ok, _shift_up(c, d, 0), jnp.zeros_like(c))
-                    for c in cols]
-        return cols
-    s = vals
-    for d, ok in _jump_steps(first):
-        if s.ndim > 1:
-            ok = ok[:, None]
-        s = s + jnp.where(ok, _shift_up(s, d, 0), jnp.zeros_like(s))
-    return s
+    single = not isinstance(vals, (list, tuple))
+    cols = [vals] if single else list(vals)
+
+    def combine(cols, shifted, ok):
+        return tuple(
+            c + jnp.where(ok[(...,) + (None,) * (c.ndim - 1)], s,
+                          jnp.zeros_like(s))
+            for c, s in zip(cols, shifted))
+
+    out = _ladder_while(first, cols, combine,
+                        [jnp.zeros((), c.dtype) for c in cols])
+    return out[0] if single else out
 
 
 def seg_totals_max(vals: jnp.ndarray, first: jnp.ndarray) -> jnp.ndarray:
-    s = vals
     neutral = (-jnp.inf if jnp.issubdtype(vals.dtype, jnp.floating)
                else jnp.iinfo(vals.dtype).min)
-    for d, ok in _jump_steps(first):
-        if s.ndim > 1:
-            ok = ok[:, None]
-        s = jnp.maximum(s, jnp.where(ok, _shift_up(s, d, neutral),
-                                     jnp.full_like(s, neutral)))
-    return s
+
+    def combine(cols, shifted, ok):
+        (c,), (s,) = cols, shifted
+        ok = ok[(...,) + (None,) * (c.ndim - 1)]
+        return (jnp.maximum(c, jnp.where(ok, s, jnp.full_like(s, neutral))),)
+
+    return _ladder_while(first, [vals], combine, [neutral])[0]
 
 
 def seg_totals_lexmax2(primary: jnp.ndarray, secondary: jnp.ndarray,
@@ -85,13 +117,15 @@ def seg_totals_lexmax2(primary: jnp.ndarray, secondary: jnp.ndarray,
     """Per-segment lexicographic max over (primary, secondary) pairs,
     landed on first rows — the mode-selection primitive (max count, then
     max secondary, i.e. encode tie preference into ``secondary``)."""
-    p, s = primary, secondary
     pmin = jnp.iinfo(primary.dtype).min
     smin = jnp.iinfo(secondary.dtype).min
-    for d, ok in _jump_steps(first):
-        p2 = jnp.where(ok, _shift_up(p, d, pmin), pmin)
-        s2 = jnp.where(ok, _shift_up(s, d, smin), smin)
+
+    def combine(cols, shifted, ok):
+        p, s = cols
+        p2 = jnp.where(ok, shifted[0], pmin)
+        s2 = jnp.where(ok, shifted[1], smin)
         cur_wins = (p > p2) | ((p == p2) & (s >= s2))
-        p = jnp.where(cur_wins, p, p2)
-        s = jnp.where(cur_wins, s, s2)
+        return (jnp.where(cur_wins, p, p2), jnp.where(cur_wins, s, s2))
+
+    p, s = _ladder_while(first, [primary, secondary], combine, [pmin, smin])
     return p, s

@@ -11,11 +11,16 @@ scatter-based segmented reductions to element-at-a-time loops (~100-250ms
 for 4M rows), so the pipeline avoids both entirely —
 
 1. ONE key sort that carries every payload column through the sort network
-   (no post-sort gather);
-2. segmented reductions as reverse ``associative_scan``s over the
+   (no post-sort gather).  Sort cost scales with operand count (~1.9ms per
+   extra 4M operand on v5e), so narrow integer payloads are bit-packed
+   into the low bits of the secondary sort key — the first mode column's
+   values occupy the TOP bits of that word, grouping runs for free;
+2. segmented reductions as reverse segmented jump scans over the
    contiguous segments (pasture_tpu.ops.segscan), totals landing on each
    segment's first row;
-3. a final key sort that compacts first rows to the front (no indexing).
+3. staged-shift prefix compaction (pasture_tpu.ops.compact) moving first
+   rows to the front — shift/select passes at HBM speed instead of a
+   second key sort (measured ~1.1ms vs ~10ms for 4M rows).
 
 Per-attribute reduction policies reproduce set_all_attributes
 (voxel_grid.rs:443-700):
@@ -52,6 +57,7 @@ from jax import lax
 from ..buffers.device import PointBatch
 from ..layout import attributes as att
 from ..math.morton import _expand10_u32, morton_encode_dual32
+from .compact import compact_columns
 from .reductions import batch_bounds
 from .segscan import seg_totals_lexmax2, seg_totals_max, seg_totals_sum
 
@@ -203,24 +209,86 @@ def voxel_downsample(batch: PointBatch, leaf_size,
     cap = batch.capacity
 
     # ---- sort 1: keys carry every non-mode payload column ------------------
-    # the FIRST mode column fuses into this sort as an extra minor key:
-    # its values become contiguous runs within segments for free (mean/max
-    # reductions only need key-grouping, which an extra key preserves)
+    # sort cost on TPU scales with OPERAND COUNT (~1.9ms per extra 4M
+    # operand), so one u32 "packed word" rides as an extra minor key: the
+    # FIRST mode column's bits occupy the TOP of the word (its values
+    # become contiguous runs within segments — mode needs grouping only),
+    # and narrow integer payload columns fill the remaining low bits
+    # (they only permute rows within a (voxel, mode) run, which the
+    # mean/max reductions are invariant to).
     mode_names = [n for n, c in batch.data.items()
                   if policy_of(n, c) == "mode"]
-    fused_mode = mode_names[0] if mode_names else None
+
+    def _width(dtype):
+        return jnp.dtype(dtype).itemsize * 8
+
+    fused_mode = next(
+        (n for n in mode_names
+         if jnp.issubdtype(batch.data[n].dtype, jnp.integer)
+         and _width(batch.data[n].dtype) <= 32),
+        None)
     carry_data = {name: col for name, col in batch.data.items()
                   if policy_of(name, col) != "mode"}
     ops, layout = _flatten_cols(carry_data)
-    extra_keys = ((batch.data[fused_mode].astype(jnp.int32),)
-                  if fused_mode else ())
-    sorted_all = lax.sort(tuple(keys) + extra_keys + tuple(ops),
+
+    mode_bits = 0
+    packed_word = None
+    if fused_mode is not None:
+        mcol = batch.data[fused_mode]
+        mode_bits = _width(mcol.dtype)
+        mbits = (mcol.astype(jnp.uint32)
+                 & jnp.uint32((1 << mode_bits) - 1 if mode_bits < 32
+                              else 0xFFFFFFFF))
+        packed_word = mbits << (32 - mode_bits) if mode_bits < 32 else mbits
+    avail = 32 - mode_bits
+    pack_plan = []  # (op index, shift, width, dtype)
+    loose_idx = []
+    for i, op in enumerate(ops):
+        w = _width(op.dtype)
+        if jnp.issubdtype(op.dtype, jnp.integer) and op.ndim == 1 and w <= avail:
+            shift = avail - w
+            bits = op.astype(jnp.uint32) & jnp.uint32((1 << w) - 1)
+            word = bits << shift
+            packed_word = word if packed_word is None else packed_word | word
+            pack_plan.append((i, shift, w, op.dtype))
+            avail -= w
+        else:
+            loose_idx.append(i)
+
+    extra_keys = (packed_word,) if packed_word is not None else ()
+    loose_ops = tuple(ops[i] for i in loose_idx)
+    sorted_all = lax.sort(tuple(keys) + extra_keys + tuple(loose_ops),
                           num_keys=nk + len(extra_keys),
                           is_stable=False)
     skeys = sorted_all[:nk]
-    fused_vals = sorted_all[nk] if fused_mode else None
-    sorted_cols = _unflatten_cols(
-        list(sorted_all[nk + len(extra_keys):]), layout)
+    sword = sorted_all[nk] if packed_word is not None else None
+
+    def _unpack(shift, w, dtype):
+        u = (sword >> jnp.uint32(shift)) & jnp.uint32((1 << w) - 1)
+        dtype = jnp.dtype(dtype)
+        if jnp.issubdtype(dtype, jnp.signedinteger):
+            if w == 32:  # astype would clamp, not wrap
+                return lax.bitcast_convert_type(u, jnp.int32)
+            sb = jnp.int32(1 << (w - 1))
+            return ((u.astype(jnp.int32) ^ sb) - sb).astype(dtype)
+        return u.astype(dtype)
+
+    fused_vals = None
+    if fused_mode is not None:
+        # sign-extended decode so mode tie-breaking ("smallest value wins")
+        # keeps signed semantics for i8/i16 columns
+        fv = _unpack(32 - mode_bits, mode_bits, batch.data[fused_mode].dtype)
+        if fv.dtype != jnp.int32:
+            fv = (lax.bitcast_convert_type(fv, jnp.int32)
+                  if _width(fv.dtype) == 32 else fv.astype(jnp.int32))
+        fused_vals = fv
+
+    sorted_ops: List = [None] * len(ops)
+    for j, i in enumerate(loose_idx):
+        sorted_ops[i] = sorted_all[nk + len(extra_keys) + j]
+    for i, shift, w, dtype in pack_plan:
+        sorted_ops[i] = _unpack(shift, w, dtype)
+    sorted_cols = _unflatten_cols(sorted_ops, layout)
 
     valid = jnp.arange(cap, dtype=jnp.int32) < batch.count  # sorted prefix
     new_key = jnp.concatenate([
@@ -228,7 +296,6 @@ def voxel_downsample(batch: PointBatch, leaf_size,
         jnp.any(jnp.stack([k[1:] != k[:-1] for k in skeys]), axis=0)
         if nk > 1 else (skeys[0][1:] != skeys[0][:-1])])
     first = new_key & valid
-    num_voxels = jnp.sum(first.astype(jnp.int32))
 
     reduced: Dict[str, jnp.ndarray] = {}
 
@@ -300,14 +367,11 @@ def voxel_downsample(batch: PointBatch, leaf_size,
         reduced[n] = _cast_as(
             _mode_from_sorted(sv, nk_new).astype(jnp.float32), col.dtype)
 
-    # ---- compaction sort: first rows to the front --------------------------
-    # the sorted Morton keys themselves order segments; masking non-first
-    # rows to the maximal key pushes them behind every real segment
-    ckeys = tuple(jnp.where(first, k, _INVALID_KEY) for k in skeys)
+    # ---- prefix compaction: first rows to the front -------------------------
+    # rows are already in Morton order and staged shifts preserve order, so
+    # no second sort is needed (ops/compact.py; ~1.1ms vs ~10ms at 4M rows)
     cops, clayout = _flatten_cols(reduced)
-    csorted = lax.sort(ckeys + tuple(cops), num_keys=nk,
-                       is_stable=False)
-    out_data = _unflatten_cols(list(csorted[nk:]), clayout)
+    compacted, num_voxels = compact_columns(cops, first)
+    out_data = _unflatten_cols(compacted, clayout)
 
-    return PointBatch(out_data, num_voxels.astype(jnp.int32), batch.schema,
-                      batch.meta)
+    return PointBatch(out_data, num_voxels, batch.schema, batch.meta)

@@ -199,3 +199,57 @@ def test_compact_batch_filters_in_order(rng):
     # padded rows never survive, even if the mask says keep
     out2 = filter_batch(batch, lambda d: jnp.ones(128, bool))
     assert int(out2.count) == 100
+
+
+def test_voxel_downsample_packed_payloads_signed(rng):
+    """Exercises the packed-word sort path: a signed fused mode column with
+    negatives, plus signed/unsigned narrow mean payloads that bit-pack into
+    the secondary sort key (sign extension must round-trip)."""
+    from pasture_tpu.layout.attributes import PointAttribute
+    from pasture_tpu.layout import dtypes as dt
+    from pasture_tpu.layout.dtypes import DevicePolicy
+
+    n = 400
+    C16 = PointAttribute("Custom16", dt.I16)
+    schema = PointSchema.from_attributes(
+        [att.POSITION_3D, att.SCAN_ANGLE_RANK, att.USER_DATA, att.NIR, C16])
+    pos = rng.uniform(0, 8, (n, 3))
+    angle = rng.integers(-90, 90, n).astype(np.int8)
+    user = rng.integers(0, 256, n).astype(np.uint8)
+    nir = rng.integers(0, 65536, n).astype(np.uint16)
+    c16 = rng.integers(-30000, 30000, n).astype(np.int16)
+    host = HostPointBuffer.from_columns(schema, {
+        att.POSITION_3D.name: pos, att.SCAN_ANGLE_RANK.name: angle,
+        att.USER_DATA.name: user, att.NIR.name: nir, C16.name: c16,
+    })
+    batch = PointBatch.from_host(host, policy=DevicePolicy.EXACT)
+    out = jax.jit(lambda b: voxel_downsample(
+        b, 2.0, semantics="floor", policies={C16.name: "mean"}))(batch)
+    got = out.to_host()
+
+    # numpy oracle: group by floor cell
+    bmin = pos.min(axis=0)
+    cell = np.floor((pos - bmin) / 2.0).astype(np.int64)
+    cell = np.clip(cell, 0, (1 << 20) - 1)
+    keys = {}
+    for i in range(n):
+        keys.setdefault(tuple(cell[i]), []).append(i)
+    assert int(out.count) == len(keys)
+    got_pos = got.get(att.POSITION_3D)
+    for j in range(len(keys)):
+        d = np.linalg.norm(
+            np.array([pos[idx].mean(axis=0) for idx in keys.values()])
+            - got_pos[j][None, :], axis=1)
+        members = list(keys.values())[int(np.argmin(d))]
+        assert d.min() < 1e-4
+        # mean payloads (Rust-as cast back to the column dtype: trunc+sat)
+        for col, attr in ((nir, att.NIR), (c16, C16)):
+            want = np.trunc(col[members].astype(np.float64).mean())
+            want = np.clip(want, np.iinfo(col.dtype).min,
+                           np.iinfo(col.dtype).max).astype(col.dtype)
+            assert got.get(attr)[j] == want, attr.name
+        # mode payloads, smallest-value tie break
+        for col, attr in ((angle, att.SCAN_ANGLE_RANK), (user, att.USER_DATA)):
+            vals, counts = np.unique(col[members], return_counts=True)
+            best = vals[counts == counts.max()].min()
+            assert got.get(attr)[j] == best, attr.name
