@@ -63,7 +63,11 @@ def pipeline(batch: PointBatch, shift: jnp.ndarray) -> jnp.ndarray:
     del data["LASLocalPosition"]
     data[att.POSITION_3D.name] = pos
     b = PointBatch(data, batch.count, batch.schema, batch.meta)
-    out = voxel_downsample(b, LEAF, semantics="floor", grid_bits=10)
+    # quantized-residual fast path: positions ride the sort as one packed
+    # u32 of 10-bit in-cell residuals (documented error bound LEAF/1024
+    # per axis ~ 0.5mm, far below sensor noise; ops/voxel.py)
+    out = voxel_downsample(b, LEAF, semantics="floor", grid_bits=10,
+                           position_quantization_bits=10)
     checksum = out.count
     for col in out.data.values():
         checksum = checksum + jnp.sum(col[:16].astype(jnp.float32)

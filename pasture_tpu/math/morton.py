@@ -14,7 +14,7 @@ import numpy as np
 
 __all__ = [
     "expand_bits_by_3", "reverse_bits", "morton_encode_u64",
-    "morton_encode_dual32", "morton_key_f32",
+    "morton_encode_dual32", "morton_decode_u32", "morton_key_f32",
 ]
 
 
@@ -69,6 +69,24 @@ def _expand10_u32(v: jnp.ndarray) -> jnp.ndarray:
     v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
     v = (v | (v << 2)) & jnp.uint32(0x09249249)
     return v
+
+
+def _compact10_u32(v: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`_expand10_u32`: gather every 3rd bit back into the
+    low 10 bits."""
+    v = v & jnp.uint32(0x09249249)
+    v = (v | (v >> 2)) & jnp.uint32(0x030C30C3)
+    v = (v | (v >> 4)) & jnp.uint32(0x0300F00F)
+    v = (v | (v >> 8)) & jnp.uint32(0x030000FF)
+    v = (v | (v >> 16)) & jnp.uint32(0x3FF)
+    return v
+
+
+def morton_decode_u32(key: jnp.ndarray):
+    """(ix, iy, iz) 10-bit cell indices from a 30-bit single-word Morton
+    key (the ``grid_bits <= 10`` voxel-key layout in ops/voxel.py)."""
+    return (_compact10_u32(key), _compact10_u32(key >> 1),
+            _compact10_u32(key >> 2))
 
 
 def morton_encode_dual32(ix: jnp.ndarray, iy: jnp.ndarray, iz: jnp.ndarray):

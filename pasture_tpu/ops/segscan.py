@@ -47,7 +47,8 @@ def _match_vma(ref: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     constant-valued columns (e.g. the all-ones counts column) would
     otherwise enter the carry as unvarying.  XLA folds select(p, x, x)
     away at compile time."""
-    return jnp.where(jnp.broadcast_to(ref, x.shape), x, x)
+    r = ref.reshape(ref.shape + (1,) * (x.ndim - ref.ndim))
+    return jnp.where(jnp.broadcast_to(r, x.shape), x, x)
 
 
 def _ladder_while(first: jnp.ndarray, cols, combine, fills) -> List:

@@ -253,3 +253,39 @@ def test_voxel_downsample_packed_payloads_signed(rng):
             vals, counts = np.unique(col[members], return_counts=True)
             best = vals[counts == counts.max()].min()
             assert got.get(attr)[j] == best, attr.name
+
+
+def test_voxel_downsample_quantized_positions(rng):
+    """Opt-in quantized-residual path: centroids within leaf/2^q of the
+    exact path, every other policy bit-identical."""
+    host, batch = _make_batch(rng, n=3000, cap=4096)
+    f = jax.jit(lambda b: voxel_downsample(b, 2.0, semantics="floor",
+                                           grid_bits=10))
+    g = jax.jit(lambda b: voxel_downsample(b, 2.0, semantics="floor",
+                                           grid_bits=10,
+                                           position_quantization_bits=10))
+    exact, quant = f(batch), g(batch)
+    assert int(exact.count) == int(quant.count)
+    n_vox = int(exact.count)
+    pe = np.asarray(exact.data[att.POSITION_3D.name])[:n_vox]
+    pq = np.asarray(quant.data[att.POSITION_3D.name])[:n_vox]
+    # same Morton order; per-axis deviation bounded by leaf / 2^10
+    np.testing.assert_allclose(pq, pe, atol=2.0 / 1024 + 1e-5)
+    for name in (att.INTENSITY.name, att.CLASSIFICATION.name,
+                 att.GPS_TIME.name):
+        np.testing.assert_array_equal(
+            np.asarray(exact.data[name])[:n_vox],
+            np.asarray(quant.data[name])[:n_vox])
+
+
+def test_voxel_downsample_quantized_nearest_semantics(rng):
+    host, batch = _make_batch(rng, n=2000, cap=2048)
+    exact = voxel_downsample(batch, 1.5, grid_bits=10)
+    quant = voxel_downsample(batch, 1.5, grid_bits=10,
+                             position_quantization_bits=10)
+    n_vox = int(exact.count)
+    assert n_vox == int(quant.count)
+    np.testing.assert_allclose(
+        np.asarray(quant.data[att.POSITION_3D.name])[:n_vox],
+        np.asarray(exact.data[att.POSITION_3D.name])[:n_vox],
+        atol=1.5 * 1.5 / 1024 + 1e-5)  # window 1.5 leaves for nearest
