@@ -172,8 +172,8 @@ def voxel_downsample(batch: PointBatch, leaf_size,
                      semantics: str = "nearest",
                      position_attribute: str = att.POSITION_3D.name,
                      grid_bits: int = 20,
-                     position_quantization_bits: Optional[int] = None
-                     ) -> PointBatch:
+                     position_quantization_bits: Optional[int] = None,
+                     sort_tiles: int = 1) -> PointBatch:
     """Voxel-grid downsample a batch; returns a batch of voxel centroids
     (same schema/capacity, ``count`` = number of occupied voxels, ordered by
     Morton code — the reference orders voxels by (x,y,z) tuple instead).
@@ -187,6 +187,16 @@ def voxel_downsample(batch: PointBatch, leaf_size,
     q=10: ~1/1024 of a leaf, far below sensor noise; the quantizer is
     centered so the error is unbiased.  Requires ``grid_bits <= 10`` and
     ``3*q <= 32``; silently falls back to the exact path otherwise.
+
+    ``sort_tiles`` (default 1 = one global sort): split the batch into
+    that many contiguous row-tiles and sort each independently — batched
+    row sorts are ~35% cheaper on TPU than one flat sort.  Semantics:
+    each tile is voxelized independently and the results concatenated
+    (exactly the contract of chunked/streaming voxelization).  When the
+    tiles are spatially disjoint at voxel granularity — the natural shape
+    after Morton partitioning or tiled ingest — this equals the global
+    voxelization; overlapping tiles emit one centroid per (tile, voxel).
+    Output voxels are ordered by (tile, Morton) instead of global Morton.
     """
     if position_attribute not in batch.data:
         raise ValueError(
@@ -287,12 +297,28 @@ def voxel_downsample(batch: PointBatch, leaf_size,
         else:
             loose_idx.append(i)
 
+    if cap % sort_tiles != 0:
+        raise ValueError(f"capacity {cap} not divisible by "
+                         f"sort_tiles={sort_tiles}")
+
+    def _tiled_sort(operands, num_keys):
+        """Sort each of ``sort_tiles`` contiguous row-tiles independently —
+        batched row sorts are ~35% cheaper than one flat sort (measured
+        (64, 64K) vs 4M flat on v5e) and equal the global sort when tiles
+        are spatially disjoint (every segment then stays within a tile)."""
+        if sort_tiles == 1:
+            return lax.sort(operands, num_keys=num_keys, is_stable=False)
+        shaped = tuple(o.reshape(sort_tiles, -1) for o in operands)
+        out = lax.sort(shaped, dimension=1, num_keys=num_keys,
+                       is_stable=False)
+        return tuple(o.reshape(-1) for o in out)
+
     extra_keys = (packed_word,) if packed_word is not None else ()
     loose_ops = tuple(ops[i] for i in loose_idx)
     extra_vals = (qword,) if quantize_pos else ()
-    sorted_all = lax.sort(
+    sorted_all = _tiled_sort(
         tuple(keys) + extra_keys + tuple(loose_ops) + extra_vals,
-        num_keys=nk + len(extra_keys), is_stable=False)
+        num_keys=nk + len(extra_keys))
     skeys = sorted_all[:nk]
     sword = sorted_all[nk] if packed_word is not None else None
     sqword = sorted_all[-1] if quantize_pos else None
@@ -324,11 +350,19 @@ def voxel_downsample(batch: PointBatch, leaf_size,
         sorted_ops[i] = _unpack(shift, w, dtype)
     sorted_cols = _unflatten_cols(sorted_ops, layout)
 
-    valid = jnp.arange(cap, dtype=jnp.int32) < batch.count  # sorted prefix
+    # the valid prefix survives tiled sorting: the unsorted batch is
+    # prefix-valid, so at most one tile is partially valid and its invalid
+    # rows (maximal keys) sort to that tile's end — globally rows [0,count)
+    # remain exactly the valid ones
+    valid = jnp.arange(cap, dtype=jnp.int32) < batch.count
+    tile_start = ((jnp.arange(cap, dtype=jnp.int32)
+                   % (cap // sort_tiles)) == 0) if sort_tiles > 1 else None
     new_key = jnp.concatenate([
         jnp.ones((1,), bool),
         jnp.any(jnp.stack([k[1:] != k[:-1] for k in skeys]), axis=0)
         if nk > 1 else (skeys[0][1:] != skeys[0][:-1])])
+    if tile_start is not None:
+        new_key = new_key | tile_start
     first = new_key & valid
 
     reduced: Dict[str, jnp.ndarray] = {}
@@ -440,14 +474,16 @@ def voxel_downsample(batch: PointBatch, leaf_size,
                                   vmin).astype(jnp.float32),
                 col.dtype)
             continue
-        s = lax.sort(tuple(keys) + (col.astype(jnp.int32),),
-                     num_keys=nk + 1, is_stable=False)
+        s = _tiled_sort(tuple(keys) + (col.astype(jnp.int32),),
+                        num_keys=nk + 1)
         sv = s[nk]
         sk = s[:nk]
         nk_new = jnp.concatenate([
             jnp.ones((1,), bool),
             jnp.any(jnp.stack([k[1:] != k[:-1] for k in sk]), axis=0)
             if nk > 1 else (sk[0][1:] != sk[0][:-1])])
+        if tile_start is not None:
+            nk_new = nk_new | tile_start
         reduced[n] = _cast_as(
             _mode_from_sorted(sv, nk_new, vbits, vmin).astype(jnp.float32),
             col.dtype)

@@ -289,3 +289,42 @@ def test_voxel_downsample_quantized_nearest_semantics(rng):
         np.asarray(quant.data[att.POSITION_3D.name])[:n_vox],
         np.asarray(exact.data[att.POSITION_3D.name])[:n_vox],
         atol=1.5 * 1.5 / 1024 + 1e-5)  # window 1.5 leaves for nearest
+
+
+def test_voxel_downsample_sort_tiles_disjoint_equals_global(rng):
+    """Spatially-disjoint tiles + sort_tiles == one global voxelization
+    (up to voxel output order, which becomes (tile, Morton))."""
+    t, l = 8, 512
+    n = t * l
+    # tile i owns x in [4*i, 4*i+4) -> leaf 1.0 cells never span tiles
+    pos = np.concatenate([
+        np.stack([rng.uniform(4 * i, 4 * i + 4, l),
+                  rng.uniform(0, 8, l), rng.uniform(0, 8, l)], axis=1)
+        for i in range(t)])
+    inten = rng.integers(0, 65536, n).astype(np.uint16)
+    cls = rng.integers(0, 32, n).astype(np.uint8)
+    schema = PointSchema.from_attributes(
+        [att.POSITION_3D, att.INTENSITY, att.CLASSIFICATION])
+    host = HostPointBuffer.from_columns(schema, {
+        att.POSITION_3D.name: pos, att.INTENSITY.name: inten,
+        att.CLASSIFICATION.name: cls})
+    from pasture_tpu.layout.dtypes import DevicePolicy
+    batch = PointBatch.from_host(host, policy=DevicePolicy.EXACT)
+    bounds = (jnp.zeros(3), None)
+    g = voxel_downsample(batch, 1.0, bounds=bounds, semantics="floor",
+                         grid_bits=10)
+    tl = voxel_downsample(batch, 1.0, bounds=bounds, semantics="floor",
+                          grid_bits=10, sort_tiles=t)
+    assert int(g.count) == int(tl.count)
+    nv = int(g.count)
+
+    def key_of(out):
+        p = np.asarray(out.data[att.POSITION_3D.name])[:nv]
+        return np.lexsort((p[:, 2], p[:, 1], p[:, 0]))
+
+    gi, ti = key_of(g), key_of(tl)
+    for name in (att.POSITION_3D.name, att.INTENSITY.name,
+                 att.CLASSIFICATION.name):
+        a = np.asarray(g.data[name])[:nv][gi]
+        b = np.asarray(tl.data[name])[:nv][ti]
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
