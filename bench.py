@@ -33,7 +33,7 @@ N = 1 << 22  # 4M points
 LEAF = 0.5
 TARGET_POINTS_PER_S = 1e9
 K = 8  # pipeline iterations inside the single timed program
-TILES = 64  # spatially-disjoint x-slabs, as tiled ingest / Morton
+TILES = 512 # spatially-disjoint x-slabs, as tiled ingest / Morton
 #             partitioning delivers them (pasture_tpu.parallel.partition);
 #             batched per-tile sorts are ~35% cheaper than one flat sort
 
@@ -45,7 +45,8 @@ def make_batch(n: int) -> PointBatch:
     world space so per-tile voxelization equals global voxelization."""
     rng = np.random.default_rng(7)
     per = n // TILES
-    slab = 200_000 // TILES // 500 * 500  # multiple of LEAF/scale = 500
+    # slab width: multiple of LEAF/scale = 500 locals (>= one leaf)
+    slab = max(500, 200_000 // TILES // 500 * 500)
     # slabs along z: the pipeline's rigid transform rotates about z, so
     # z-slabs stay axis-aligned and voxel-disjoint in the output frame
     zs = [rng.integers(i * slab, (i + 1) * slab, size=per, dtype=np.int32)
@@ -87,7 +88,7 @@ def pipeline(batch: PointBatch, shift: jnp.ndarray) -> jnp.ndarray:
     # quantized-residual fast path: positions ride the sort as one packed
     # u32 of 10-bit in-cell residuals (documented error bound LEAF/1024
     # per axis ~ 0.5mm, far below sensor noise; ops/voxel.py) + per-tile
-    # batched sorts over the 64 disjoint ingest slabs
+    # batched sorts over the TILES disjoint ingest slabs
     out = voxel_downsample(b, LEAF, bounds=(bmin, None), semantics="floor",
                            grid_bits=10, position_quantization_bits=10,
                            sort_tiles=TILES)

@@ -107,12 +107,24 @@ def _cumsum_blocked(x: jnp.ndarray) -> jnp.ndarray:
     return (row_inc + offs[:, None]).astype(jnp.int32).reshape(-1)
 
 
-def compact_columns(cols: Sequence[jnp.ndarray], keep: jnp.ndarray
-                    ) -> Tuple[List[jnp.ndarray], jnp.ndarray]:
+def compact_columns(cols: Sequence[jnp.ndarray], keep: jnp.ndarray,
+                    tiles: int = 0) -> Tuple[List[jnp.ndarray], jnp.ndarray]:
     """Compact 1-D ``cols`` so rows with ``keep`` move to the front in
     order.  Returns (compacted columns, kept count).  Rows past the kept
-    count hold unspecified values."""
+    count hold unspecified values.
+
+    ``tiles`` (0 = auto): compact that many contiguous row-tiles
+    independently — within-tile displacements are bounded by the tile's
+    dropped-row count, so the shift ladder exits after far fewer stages —
+    then merge by writing each tile's full block at its running output
+    offset in a sequential ``fori_loop`` (later writes overwrite earlier
+    tiles' garbage suffixes, which is exactly right because offsets
+    advance by each tile's kept count)."""
     n = keep.shape[0]
+    if tiles == 0:
+        tiles = 64 if (n % (64 * 128) == 0 and n // 64 >= 4096) else 1
+    if tiles > 1 and n % tiles == 0 and (n // tiles) % 128 == 0:
+        return _compact_tiled(list(cols), keep, tiles)
     rank_incl = _cumsum_blocked(keep.astype(jnp.int32))
     count = rank_incl[-1]
     dist = jnp.where(keep, jnp.arange(n, dtype=jnp.int32) - (rank_incl - 1),
@@ -138,3 +150,80 @@ def compact_columns(cols: Sequence[jnp.ndarray], keep: jnp.ndarray
              dist, keep, tuple(_match_vma(keep, c) for c in cols))
     _, _, _, _, vals = lax.while_loop(cond, body, state)
     return list(vals), count
+
+
+def _dshift_up2(x: jnp.ndarray, d, fill) -> jnp.ndarray:
+    """x[:, j+d] with ``fill`` past each row's end; ``d`` may be traced."""
+    t, l = x.shape
+    pad = jnp.full((t, l), fill, x.dtype)
+    return lax.dynamic_slice_in_dim(jnp.concatenate([x, pad], axis=1),
+                                    d, l, axis=1)
+
+
+def _compact_tiled(cols: List[jnp.ndarray], keep: jnp.ndarray, t: int
+                   ) -> Tuple[List[jnp.ndarray], jnp.ndarray]:
+    n = keep.shape[0]
+    l = n // t
+    keep2 = keep.reshape(t, l)
+    kint = keep2.astype(jnp.int32)
+
+    # per-tile inclusive rank: 128-lane prefixes via one MXU matmul +
+    # within-tile row offsets (f32 exact: l < 2^24)
+    rpt = l // 128
+    lanes = kint.reshape(t * rpt, 128).astype(jnp.float32)
+    lt = jnp.tril(jnp.ones((128, 128), jnp.float32))
+    row_inc = lanes @ lt.T
+    row_tot = row_inc[:, -1].reshape(t, rpt)
+    row_offs = row_tot
+    d = 1
+    while d < rpt:  # tiny within-tile row scan
+        row_offs = row_offs + jnp.concatenate(
+            [jnp.zeros((t, d), jnp.float32), row_offs[:, :-d]], axis=1)
+        d <<= 1
+    row_offs = row_offs - row_tot
+    rank_incl = (row_inc.reshape(t, rpt, 128)
+                 + row_offs[:, :, None]).astype(jnp.int32).reshape(t, l)
+    cnt = rank_incl[:, -1]                       # kept per tile (t,)
+    count = jnp.sum(cnt)
+
+    iota_l = _cumsum_jump(jnp.ones((l,), jnp.int32)) - 1
+    dist = jnp.where(keep2, iota_l[None, :] - (rank_incl - 1), 0)
+
+    # per-tile staged shifts: displacements are bounded by each tile's
+    # dropped-row count, so the ladder exits after log2(max dropped) stages
+    def cond(state):
+        s, k, dist, occ, _ = state
+        return (s < l) & jnp.any(occ & (dist > 0))
+
+    def body(state):
+        s, k, dist, occ, vals = state
+        move = occ & (((dist >> k) & 1) == 1)
+        inc = _dshift_up2(move, s, False)
+        vals = tuple(jnp.where(inc, _dshift_up2(v, s, jnp.zeros((), v.dtype)),
+                               v) for v in vals)
+        dist = jnp.where(inc, _dshift_up2(dist, s, 0) - s, dist)
+        occ = (occ & ~move) | inc
+        return (s * 2, k + 1, dist, occ, vals)
+
+    state = (jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32),
+             dist, keep2,
+             tuple(_match_vma(keep2, c.reshape(t, l)) for c in cols))
+    _, _, _, _, vals2 = lax.while_loop(cond, body, state)
+
+    # merge: write each tile's FULL block at its running output offset;
+    # offsets advance by the tile's kept count, so the next write
+    # overwrites exactly the previous tile's garbage suffix.  Buffers are
+    # padded by one tile so the last full-block write stays in bounds.
+    offs = _cumsum_jump(cnt) - cnt
+    ref = keep[:1]
+    outs = tuple(_match_vma(ref, jnp.zeros((n + l,), c.dtype)) for c in cols)
+
+    def merge(i, outs):
+        off = lax.dynamic_index_in_dim(offs, i, keepdims=False)
+        return tuple(
+            lax.dynamic_update_slice_in_dim(
+                o, lax.dynamic_index_in_dim(v, i, keepdims=False), off, 0)
+            for o, v in zip(outs, vals2))
+
+    outs = lax.fori_loop(0, t, merge, outs)
+    return [o[:n] for o in outs], count
