@@ -39,7 +39,6 @@ def pack_int_columns(cols: Sequence[jnp.ndarray]):
     word_bits: List[int] = []
     out_cols: List = []
     plan = []             # per input: ("pass", out_idx) | ("packed", word_idx, shift, width, dtype)
-    word_index: dict = {}
     for c in cols:
         w = jnp.dtype(c.dtype).itemsize * 8
         if not (jnp.issubdtype(c.dtype, jnp.integer) and c.ndim == 1
