@@ -26,14 +26,14 @@ import numpy as np
 from pasture_tpu.buffers.device import PointBatch
 from pasture_tpu.layout import attributes as att
 from pasture_tpu.layout.schema import PointSchema
-from pasture_tpu.ops import (affine_transform, batch_bounds,
-                             decode_las_positions, voxel_downsample)
+from pasture_tpu.ops import voxel_downsample
+from pasture_tpu.ops.kernels import fused_voxel_head, fused_world_bounds
 
 N = 1 << 22  # 4M points
 LEAF = 0.5
 TARGET_POINTS_PER_S = 1e9
 K = 8  # pipeline iterations inside the single timed program
-TILES = 512 # spatially-disjoint x-slabs, as tiled ingest / Morton
+TILES = 1024  # spatially-disjoint x-slabs, as tiled ingest / Morton
 #             partitioning delivers them (pasture_tpu.parallel.partition);
 #             batched per-tile sorts are ~35% cheaper than one flat sort
 
@@ -71,27 +71,29 @@ def pipeline(batch: PointBatch, shift: jnp.ndarray) -> jnp.ndarray:
     """One transform+voxelize step.  Returns a checksum that depends on
     EVERY output column so XLA cannot dead-code-eliminate any reduction."""
     scale = jnp.asarray([0.001, 0.001, 0.001], jnp.float32)
-    offset = jnp.asarray([0.0, 0.0, 0.0], jnp.float32)
-    pos = decode_las_positions(batch.data["LASLocalPosition"], scale, offset)
+    local = batch.data["LASLocalPosition"]
     c, s = 0.9689124, 0.24740396  # cos/sin 0.25 rad
     rot = jnp.asarray([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]], jnp.float32)
     t = jnp.asarray([10.0, -5.0, 2.0], jnp.float32) + shift
-    pos = affine_transform(pos, rot, t)
-    data = dict(batch.data)
-    del data["LASLocalPosition"]
-    data[att.POSITION_3D.name] = pos
-    b = PointBatch(data, batch.count, batch.schema, batch.meta)
+    # Pallas pipeline head: decode + rigid transform + Morton key +
+    # quantized in-cell residuals in ONE HBM pass over the i32 locals —
+    # world positions are never materialised (centroids are reconstructed
+    # from key + mean residual inside voxel_downsample).
+    wmin, _ = fused_world_bounds(local, scale, rot, t)
     # grid anchored exactly at the z-translation so the z-slab tile
     # boundaries stay voxel-aligned (x/y anchor is data-driven as usual)
-    bmin_xy, _ = batch_bounds(pos, b.valid_mask())
-    bmin = jnp.stack([bmin_xy[0], bmin_xy[1], t[2]])
-    # quantized-residual fast path: positions ride the sort as one packed
-    # u32 of 10-bit in-cell residuals (documented error bound LEAF/1024
-    # per axis ~ 0.5mm, far below sensor noise; ops/voxel.py) + per-tile
+    bmin = jnp.stack([wmin[0], wmin[1], t[2]])
+    keys, qword = fused_voxel_head(local, scale, rot, t, bmin, LEAF,
+                                   qbits=10, semantics="floor")
+    data = dict(batch.data)
+    del data["LASLocalPosition"]
+    b = PointBatch(data, batch.count, batch.schema, batch.meta)
+    # quantized-residual fast path (documented error bound LEAF/1024 per
+    # axis ~ 0.5mm, far below sensor noise; ops/voxel.py) + per-tile
     # batched sorts over the TILES disjoint ingest slabs
     out = voxel_downsample(b, LEAF, bounds=(bmin, None), semantics="floor",
                            grid_bits=10, position_quantization_bits=10,
-                           sort_tiles=TILES)
+                           sort_tiles=TILES, precomputed=(keys, qword))
     checksum = out.count
     for col in out.data.values():
         checksum = checksum + jnp.sum(col[:16].astype(jnp.float32)

@@ -121,6 +121,9 @@ def compact_columns(cols: Sequence[jnp.ndarray], keep: jnp.ndarray,
     advance by each tile's kept count)."""
     n = keep.shape[0]
     if tiles == 0:
+        # 64 tiles measured best on v5e at 4M rows: finer tiles shorten the
+        # ladder but the sequential merge's per-iteration cost dominates
+        # (256 tiles: 546 vs 578 Mpts/s in the voxel bench)
         tiles = 64 if (n % (64 * 128) == 0 and n // 64 >= 4096) else 1
     if tiles > 1 and n % tiles == 0 and (n // tiles) % 128 == 0:
         return _compact_tiled(list(cols), keep, tiles)

@@ -173,7 +173,9 @@ def voxel_downsample(batch: PointBatch, leaf_size,
                      position_attribute: str = att.POSITION_3D.name,
                      grid_bits: int = 20,
                      position_quantization_bits: Optional[int] = None,
-                     sort_tiles: int = 1) -> PointBatch:
+                     sort_tiles: int = 1,
+                     precomputed: Optional[Tuple[jnp.ndarray, jnp.ndarray]]
+                     = None) -> PointBatch:
     """Voxel-grid downsample a batch; returns a batch of voxel centroids
     (same schema/capacity, ``count`` = number of occupied voxels, ordered by
     Morton code — the reference orders voxels by (x,y,z) tuple instead).
@@ -197,8 +199,24 @@ def voxel_downsample(batch: PointBatch, leaf_size,
     after Morton partitioning or tiled ingest — this equals the global
     voxelization; overlapping tiles emit one centroid per (tile, voxel).
     Output voxels are ordered by (tile, Morton) instead of global Morton.
+
+    ``precomputed``: ``(morton_keys, residual_qword)`` from the fused
+    Pallas pipeline head (ops/kernels fused_voxel_head) — skips the
+    position decode entirely (the batch need not even carry a position
+    column; centroids are reconstructed from key + mean residual).
+    Requires the quantized path and explicit ``bounds``.
     """
-    if position_attribute not in batch.data:
+    pre = precomputed is not None
+    if pre:
+        if position_quantization_bits is None or grid_bits > 10:
+            raise ValueError("precomputed (keys, qword) requires the "
+                             "quantized path: position_quantization_bits "
+                             "set and grid_bits <= 10")
+        if bounds is None:
+            raise ValueError("precomputed keys require explicit bounds "
+                             "(the grid anchor, for centroid "
+                             "reconstruction)")
+    if position_attribute not in batch.data and not pre:
         raise ValueError(
             f"batch has no {position_attribute!r} attribute, required for "
             f"voxel grid construction")
@@ -219,31 +237,39 @@ def voxel_downsample(batch: PointBatch, leaf_size,
             raise ValueError(f"mode policy needs a scalar column: {name}")
         return p
 
-    pos = batch.data[position_attribute]
+    pos = batch.data.get(position_attribute)
+    pdt = pos.dtype if pos is not None else jnp.float32
     mask = batch.valid_mask()
     if bounds is None:
         bmin, _ = batch_bounds(pos, mask)
     else:
         bmin = jnp.asarray(bounds[0])
-
-    cells = voxel_indices(pos, mask, leaf_size, bmin, semantics, grid_bits)
-    keys = _keys(cells, mask, grid_bits)
-    nk = len(keys)
     cap = batch.capacity
-
     qbits = position_quantization_bits
-    quantize_pos = (
-        qbits is not None and grid_bits <= 10 and 3 * qbits <= 32
-        and jnp.issubdtype(pos.dtype, jnp.floating)
-        and policy_of(position_attribute, pos) == "mean")
-    qword = None
-    if quantize_pos:
+    qwindow = 1.5 if semantics == "nearest" else 1.0
+
+    if pre:
+        pkeys, qword = precomputed
+        keys = [jnp.where(mask, pkeys, _INVALID_KEY)]
+        nk = 1
+        quantize_pos = True
+        cells = None
+    else:
+        cells = voxel_indices(pos, mask, leaf_size, bmin, semantics,
+                              grid_bits)
+        keys = _keys(cells, mask, grid_bits)
+        nk = len(keys)
+        quantize_pos = (
+            qbits is not None and grid_bits <= 10 and 3 * qbits <= 32
+            and jnp.issubdtype(pos.dtype, jnp.floating)
+            and policy_of(position_attribute, pos) == "mean")
+        qword = None
+    if quantize_pos and not pre:
         leaf = jnp.broadcast_to(jnp.asarray(leaf_size, pos.dtype), (3,))
         u = (pos - bmin[None, :].astype(pos.dtype)) / leaf[None, :]
         # residual window relative to the (clipped) cell: [0, 1) for floor;
         # [0, 1.5) for nearest (the low-edge clamp of voxel_indices puts
         # cell-0 residuals in [0, 0.5))
-        qwindow = 1.5 if semantics == "nearest" else 1.0
         r = u - cells.astype(pos.dtype)
         qv = jnp.clip(jnp.floor(r * ((1 << qbits) / qwindow)), 0,
                       (1 << qbits) - 1).astype(jnp.uint32)
@@ -411,7 +437,6 @@ def voxel_downsample(batch: PointBatch, leaf_size,
         # unbiased mean of the centered q-bit residuals
         cnt = jnp.maximum(counts32, 1.0)
         cell_xyz = morton_decode_u32(skeys[0])
-        pdt = pos.dtype
         leaf3 = jnp.broadcast_to(jnp.asarray(leaf_size, pdt), (3,))
         comps = []
         for axis, (ci, qs) in enumerate(zip(cell_xyz, qsums)):

@@ -35,3 +35,93 @@ def test_fused_decode_transform_key_matches_reference(rng):
     # f32 rounding can flip a cell at boundaries for a few points
     mismatch = np.mean(got != expect_key)
     assert mismatch < 0.001, mismatch
+
+
+def test_fused_voxel_head_matches_internal_path(rng):
+    """fused_voxel_head (keys, qword) + voxel_downsample(precomputed=...)
+    must equal the internal quantized path exactly."""
+    import jax
+    import jax.numpy as jnp
+    from pasture_tpu.buffers.device import PointBatch
+    from pasture_tpu.layout import attributes as att
+    from pasture_tpu.layout.schema import PointSchema
+    from pasture_tpu.ops import (affine_transform, decode_las_positions,
+                                 voxel_downsample)
+    from pasture_tpu.ops.kernels import fused_voxel_head
+
+    n = 32768
+    local = rng.integers(0, 100_000, (n, 3)).astype(np.int32)
+    inten = rng.integers(0, 65536, n).astype(np.uint16)
+    cls = rng.integers(0, 32, n).astype(np.uint8)
+    scale = np.asarray([0.001] * 3, np.float32)
+    th = 0.25
+    rot = np.asarray([[np.cos(th), -np.sin(th), 0],
+                      [np.sin(th), np.cos(th), 0], [0, 0, 1]], np.float32)
+    trans = np.asarray([5.0, -2.0, 1.0], np.float32)
+    leaf = 0.5
+
+    pos = decode_las_positions(jnp.asarray(local), jnp.asarray(scale),
+                               jnp.zeros(3, jnp.float32))
+    pos = affine_transform(pos, jnp.asarray(rot), jnp.asarray(trans))
+    bmin = jnp.min(pos, axis=0)
+    schema = PointSchema.from_attributes(
+        [att.POSITION_3D, att.INTENSITY, att.CLASSIFICATION])
+    data = {att.POSITION_3D.name: pos,
+            att.INTENSITY.name: jnp.asarray(inten),
+            att.CLASSIFICATION.name: jnp.asarray(cls)}
+    full = PointBatch(data, jnp.asarray(n, jnp.int32), schema, {})
+
+    from pasture_tpu.math.morton import morton_decode_u32
+    from pasture_tpu.ops.voxel import _keys, voxel_indices
+
+    for sem in ("floor", "nearest"):
+        want = voxel_downsample(full, leaf, bounds=(bmin, None),
+                                semantics=sem, grid_bits=10,
+                                position_quantization_bits=10)
+        keys, qword = fused_voxel_head(
+            jnp.asarray(local), jnp.asarray(scale), jnp.asarray(rot),
+            jnp.asarray(trans), bmin, leaf, qbits=10, semantics=sem,
+            interpret=True)
+
+        # (a) kernel keys match the XLA path except for rare float-boundary
+        # cell flips (different op orders round differently at cell edges)
+        mask = jnp.ones((n,), bool)
+        cells = voxel_indices(pos, mask, leaf, bmin, sem, 10)
+        xla_key = _keys(cells, mask, 10)[0]
+        frac = float(np.mean(np.asarray(keys) == np.asarray(xla_key)))
+        assert frac > 0.998, (sem, frac)
+
+        # (b) given the kernel's keys/qword, the precomputed path must
+        # reproduce the internal quantized pipeline bit-for-bit: feed the
+        # SAME (keys, qword) through a full batch carrying positions too
+        nopos = PointBatch({att.INTENSITY.name: jnp.asarray(inten),
+                            att.CLASSIFICATION.name: jnp.asarray(cls)},
+                           jnp.asarray(n, jnp.int32), schema, {})
+        got = voxel_downsample(nopos, leaf, bounds=(bmin, None),
+                               semantics=sem, grid_bits=10,
+                               position_quantization_bits=10,
+                               precomputed=(keys, qword))
+        assert int(want.count) in range(int(got.count) - 40,
+                                        int(got.count) + 41), sem
+        # exact check against an oracle built from the kernel's own cells
+        kx, ky, kz = (np.asarray(c) for c in morton_decode_u32(keys))
+        qw = np.asarray(qword)
+        window = 1.5 if sem == "nearest" else 1.0
+        groups = {}
+        for i in range(n):
+            groups.setdefault((kx[i], ky[i], kz[i]), []).append(i)
+        nv = int(got.count)
+        assert nv == len(groups)
+        gp = np.asarray(got.data[att.POSITION_3D.name])[:nv]
+        bm = np.asarray(bmin)
+        want_pos = {}
+        for cell, members in groups.items():
+            qs = np.stack([(qw[members] >> 20) & 1023,
+                           (qw[members] >> 10) & 1023,
+                           qw[members] & 1023], axis=1).astype(np.float64)
+            mean_r = (qs.mean(axis=0) + 0.5) * (window / 1024)
+            want_pos[cell] = (np.asarray(cell) + mean_r) * leaf + bm
+        wp = np.stack(list(want_pos.values()))
+        for j in range(nv):
+            d = np.linalg.norm(wp - gp[j][None, :], axis=1)
+            assert d.min() < 1e-4, (sem, j, d.min())
