@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -166,6 +167,18 @@ def _compact_tiled(cols: List[jnp.ndarray], keep: jnp.ndarray, t: int
                    ) -> Tuple[List[jnp.ndarray], jnp.ndarray]:
     n = keep.shape[0]
     l = n // t
+
+    # Pallas fast path: the per-tile ladder runs entirely in VMEM (one HBM
+    # read + write per stream instead of one per ladder stage)
+    from .kernels.compact_kernel import (PALLAS_COMPACT_BLOCK,
+                                         blockwise_compact_pallas)
+    if (l == PALLAS_COMPACT_BLOCK and jax.default_backend() != "cpu"
+            and all(jnp.dtype(c.dtype).itemsize == 4 and c.ndim == 1
+                    for c in cols)):
+        outs, cnt = blockwise_compact_pallas(list(cols), keep)
+        return _merge_tiles([o.reshape(t, l) for o in outs], cnt, keep,
+                            n, l)
+
     keep2 = keep.reshape(t, l)
     kint = keep2.astype(jnp.int32)
 
@@ -186,7 +199,6 @@ def _compact_tiled(cols: List[jnp.ndarray], keep: jnp.ndarray, t: int
     rank_incl = (row_inc.reshape(t, rpt, 128)
                  + row_offs[:, :, None]).astype(jnp.int32).reshape(t, l)
     cnt = rank_incl[:, -1]                       # kept per tile (t,)
-    count = jnp.sum(cnt)
 
     iota_l = _cumsum_jump(jnp.ones((l,), jnp.int32)) - 1
     dist = jnp.where(keep2, iota_l[None, :] - (rank_incl - 1), 0)
@@ -212,13 +224,21 @@ def _compact_tiled(cols: List[jnp.ndarray], keep: jnp.ndarray, t: int
              tuple(_match_vma(keep2, c.reshape(t, l)) for c in cols))
     _, _, _, _, vals2 = lax.while_loop(cond, body, state)
 
-    # merge: write each tile's FULL block at its running output offset;
-    # offsets advance by the tile's kept count, so the next write
-    # overwrites exactly the previous tile's garbage suffix.  Buffers are
-    # padded by one tile so the last full-block write stays in bounds.
+    return _merge_tiles(vals2, cnt, keep, n, l)
+
+
+def _merge_tiles(vals2, cnt, keep, n, l):
+    """Merge per-tile compacted (t, l) blocks: write each tile's FULL
+    block at its running output offset; offsets advance by the tile's kept
+    count, so the next write overwrites exactly the previous tile's
+    garbage suffix.  Buffers are padded by one tile so the last full-block
+    write stays in bounds."""
+    t = vals2[0].shape[0]
+    count = jnp.sum(cnt)
     offs = _cumsum_jump(cnt) - cnt
     ref = keep[:1]
-    outs = tuple(_match_vma(ref, jnp.zeros((n + l,), c.dtype)) for c in cols)
+    outs = tuple(_match_vma(ref, jnp.zeros((n + l,), v.dtype))
+                 for v in vals2)
 
     def merge(i, outs):
         off = lax.dynamic_index_in_dim(offs, i, keepdims=False)

@@ -1,0 +1,272 @@
+"""Blockwise fused voxel reduction + compaction — the post-sort half of
+the voxel pipeline as ONE Pallas kernel.
+
+Input: the tiled-sorted operands of ops/voxel.py's quantized fast path —
+Morton key, the packed secondary word (mode value in the top bits, narrow
+mean fields below), and the packed position-residual word.  Because the
+sort runs per spatial tile and 64K-element kernel blocks contain whole
+tiles, NO key segment ever spans a block — every segmented reduction and
+the prefix compaction are block-local, so the whole chain (segment flags,
+mean sums + counts, run-length mode selection, centroid reconstruction
+from key + mean residual, Rust-`as` output casts, prefix compaction) runs
+in VMEM with one HBM read per input stream and one write per output.
+
+Semantics are bit-compatible with the generic path in ops/voxel.py
+(asserted by tests/test_pallas_kernels.py); reduction-policy reference:
+pasture-algorithms/src/voxel_grid.rs:443-700.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .compact_kernel import _flat_shift_up
+from .fused_transform import _auto_interpret, _expand10
+
+__all__ = ["fused_sorted_voxel_reduce", "REDUCE_BLOCK"]
+
+_LANES = 128
+_BLOCK_ROWS = 512
+REDUCE_BLOCK = _BLOCK_ROWS * _LANES
+_INVALID = 0xFFFFFFFF
+
+
+def _flat_shift_down(x, s, fill):
+    """Element i-s of x (row-major flattened); ``fill`` before the start."""
+    q, r = s // _LANES, s % _LANES
+    rows = x.shape[0]
+
+    def rshift_down(y, qq):
+        if qq == 0:
+            return y
+        rolled = pltpu.roll(y, qq, 0)
+        rid = jax.lax.broadcasted_iota(jnp.int32, y.shape, 0)
+        return jnp.where(rid >= qq, rolled, jnp.full_like(y, fill))
+
+    a = rshift_down(x, q)
+    if r == 0:
+        return a
+    b = rshift_down(x, q + 1)
+    ar = pltpu.roll(a, r, 1)
+    br = pltpu.roll(b, r, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane >= r, ar, br)
+
+
+def _compact10(v):
+    v = v & jnp.uint32(0x09249249)
+    v = (v | (v >> 2)) & jnp.uint32(0x030C30C3)
+    v = (v | (v >> 4)) & jnp.uint32(0x0300F00F)
+    v = (v | (v >> 8)) & jnp.uint32(0x030000FF)
+    v = (v | (v >> 16)) & jnp.uint32(0x3FF)
+    return v
+
+
+def _seg_totals(cols, first, rows, max_seg=None):
+    """Reverse segmented sums: totals land on each segment's FIRST row.
+    Static ladder up to ``max_seg`` (segments never span a sort tile, so
+    log2(tile_len) stages suffice)."""
+    bound = min(rows * _LANES, max_seg or rows * _LANES)
+    blocked = _flat_shift_up(first.astype(jnp.int32), 1) != 0
+    s = 1
+    while s < bound:
+        ok = ~blocked
+        cols = [c + jnp.where(ok, _flat_shift_up(c, s), jnp.zeros_like(c))
+                for c in cols]
+        blocked = blocked | (_flat_shift_up(blocked.astype(jnp.int32), s)
+                             != 0)
+        s <<= 1
+    return cols
+
+
+def _seg_max(col, first, rows, neutral, max_seg=None):
+    """Reverse segmented max landing on first rows.  Unlike the sum ladder
+    (where the zero shift-fill past the block end is additive-neutral),
+    max needs rows past the end to read as BLOCKED — the flat index guard
+    handles the tail."""
+    total = rows * _LANES
+    bound = min(total, max_seg or total)
+    flat_idx = (jax.lax.broadcasted_iota(jnp.int32, col.shape, 0) * _LANES
+                + jax.lax.broadcasted_iota(jnp.int32, col.shape, 1))
+    blocked = (_flat_shift_up(first.astype(jnp.int32), 1) != 0) \
+        | (flat_idx == total - 1)
+    s = 1
+    while s < bound:
+        ok = ~blocked
+        col = jnp.maximum(col, jnp.where(ok, _flat_shift_up(col, s),
+                                         jnp.full_like(col, neutral)))
+        blocked = (blocked
+                   | (_flat_shift_up(blocked.astype(jnp.int32), s) != 0)
+                   | (flat_idx >= total - s))
+        s <<= 1
+    return col
+
+
+def _make_kernel(mode_bits: int, fields, qbits: int, qwindow: float,
+                 tile_len: int):
+    """``fields``: static list of (shift, width, signed, imin, imax) mean
+    fields packed in the secondary word below the mode bits."""
+    rows = _BLOCK_ROWS
+    total = rows * _LANES
+
+    def kernel(key_ref, word_ref, q_ref, params_ref,
+               px_ref, py_ref, pz_ref, word_out_ref, cnt_ref):
+        p = params_ref[:]
+        bmin, leaf = p[0:3], p[3]
+
+        key = key_ref[...]
+        word = word_ref[...]
+        qw = q_ref[...]
+
+        flat_idx = (jax.lax.broadcasted_iota(jnp.int32, key.shape, 0)
+                    * _LANES
+                    + jax.lax.broadcasted_iota(jnp.int32, key.shape, 1))
+        valid = key != jnp.uint32(_INVALID)
+        prev_key = _flat_shift_down(key, 1, _INVALID)
+        first = valid & ((key != prev_key)
+                         | (flat_idx % tile_len == 0))
+
+        # ---- mean sums (+ counts) over segments -------------------------
+        qm = jnp.uint32((1 << qbits) - 1)
+        cols = []
+        for sh in (2 * qbits, qbits, 0):
+            # u32 -> i32 -> f32 (Mosaic lacks direct u32<->f32 casts)
+            qc = ((qw >> jnp.uint32(sh)) & qm).astype(jnp.int32) \
+                .astype(jnp.float32)
+            cols.append(jnp.where(valid, qc, 0.0))
+        for (fsh, fw, fsigned, _, _) in fields:
+            u = (word >> jnp.uint32(fsh)) & jnp.uint32((1 << fw) - 1)
+            if fsigned:
+                sb = jnp.int32(1 << (fw - 1))
+                v = ((u.astype(jnp.int32) ^ sb) - sb).astype(jnp.float32)
+            else:
+                v = u.astype(jnp.int32).astype(jnp.float32)
+            cols.append(jnp.where(valid, v, 0.0))
+        cols.append(jnp.where(valid, 1.0, 0.0))
+        sums = _seg_totals(cols, first, rows, max_seg=tile_len)
+        cnt = jnp.maximum(sums[-1], 1.0)
+        qmeans = [s / cnt for s in sums[:3]]
+        fmeans = [s / cnt for s in sums[3:-1]]
+
+        # ---- mode of the top bits (max run, then smallest value) ---------
+        out_word = jnp.zeros_like(word)
+        if mode_bits:
+            mv = (word >> jnp.uint32(32 - mode_bits)).astype(jnp.int32)
+            prev_mv = _flat_shift_down(mv, 1, -1)
+            run_new = first | (valid & (mv != prev_mv))
+            runs = run_new & valid
+            (run_len,) = _seg_totals(
+                [jnp.where(valid, 1.0, 0.0)], run_new, rows,
+                max_seg=tile_len)
+            vmax_enc = jnp.int32((1 << mode_bits) - 1)
+            packed = jnp.where(runs,
+                               (run_len.astype(jnp.int32) << mode_bits)
+                               | (vmax_enc - mv), -1)
+            best = _seg_max(packed, first, rows, -1, max_seg=tile_len)
+            mode = vmax_enc - (best & vmax_enc)
+            out_word = (mode.astype(jnp.uint32)
+                        << jnp.uint32(32 - mode_bits))
+
+        # ---- Rust-`as` casts of field means back into the word ----------
+        for (fsh, fw, fsigned, imin, imax), m in zip(fields, fmeans):
+            t = jnp.trunc(m)
+            t = jnp.clip(t, float(imin), float(imax))
+            bits = (jax.lax.bitcast_convert_type(t.astype(jnp.int32),
+                                                 jnp.uint32)
+                    & jnp.uint32((1 << fw) - 1))
+            out_word = out_word | (bits << jnp.uint32(fsh))
+
+        # ---- centroid reconstruction from key + mean residual -----------
+        cx = _compact10(key).astype(jnp.int32).astype(jnp.float32)
+        cy = _compact10(key >> 1).astype(jnp.int32).astype(jnp.float32)
+        cz = _compact10(key >> 2).astype(jnp.int32).astype(jnp.float32)
+        scale_q = qwindow / (1 << qbits)
+        px = (cx + (qmeans[0] + 0.5) * scale_q) * leaf + bmin[0]
+        py = (cy + (qmeans[1] + 0.5) * scale_q) * leaf + bmin[1]
+        pz = (cz + (qmeans[2] + 0.5) * scale_q) * leaf + bmin[2]
+
+        # ---- prefix compaction of first rows -----------------------------
+        kf = first.astype(jnp.float32)
+        lt = jnp.tril(jnp.ones((_LANES, _LANES), jnp.float32))
+        row_inc = jnp.dot(kf, lt.T, preferred_element_type=jnp.float32)
+        row_tot = row_inc[:, -1:]
+        offs = row_tot
+        rid1 = jax.lax.broadcasted_iota(jnp.int32, row_tot.shape, 0)
+        d = 1
+        while d < rows:
+            down = pltpu.roll(offs, d, 0)
+            offs = offs + jnp.where(rid1 >= d, down, jnp.zeros_like(offs))
+            d <<= 1
+        rank_incl = (row_inc + (offs - row_tot)).astype(jnp.int32)
+        dist = jnp.where(first, flat_idx - (rank_incl - 1), 0)
+
+        occ = first
+        vals = [px, py, pz, out_word]
+        s, k = 1, 0
+        while s < total:
+            move = occ & (((dist >> k) & 1) == 1)
+            inc = _flat_shift_up(move.astype(jnp.int32), s) != 0
+            vals = [jnp.where(inc, _flat_shift_up(v, s), v) for v in vals]
+            dist = jnp.where(inc, _flat_shift_up(dist, s) - s, dist)
+            occ = (occ & ~move) | inc
+            s <<= 1
+            k += 1
+
+        px_ref[...] = vals[0]
+        py_ref[...] = vals[1]
+        pz_ref[...] = vals[2]
+        word_out_ref[...] = vals[3]
+        cnt_ref[pl.program_id(0), 0] = jnp.sum(kf).astype(jnp.int32)
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("mode_bits", "fields", "qbits",
+                                   "qwindow", "tile_len", "semantics",
+                                   "interpret"))
+def fused_sorted_voxel_reduce(skey: jnp.ndarray, sword: jnp.ndarray,
+                              sqword: jnp.ndarray, bounds_min: jnp.ndarray,
+                              leaf_size: float, mode_bits: int,
+                              fields: tuple, qbits: int, qwindow: float,
+                              tile_len: int, semantics: str = "floor",
+                              interpret: bool = None):
+    """All post-sort voxel work in one blockwise kernel.  Returns
+    ``(pos_x, pos_y, pos_z, out_word, per_block_counts)`` with each 64K
+    block's voxels compacted to its front (merge with
+    ops.compact._merge_tiles).  Requires: single-u32-key quantized path,
+    every payload packed into ``sword`` (mode value in the top
+    ``mode_bits``), and ``tile_len`` dividing the 64K block."""
+    interpret = _auto_interpret(interpret)
+    n = skey.shape[0]
+    assert n % REDUCE_BLOCK == 0 and REDUCE_BLOCK % tile_len == 0
+    grid = (n // REDUCE_BLOCK,)
+    rows_total = n // _LANES
+
+    params = jnp.concatenate([
+        bounds_min.astype(jnp.float32).reshape(3),
+        jnp.asarray([leaf_size], jnp.float32),
+    ])
+    block = pl.BlockSpec((_BLOCK_ROWS, _LANES), lambda i: (i, 0))
+    shaped = [x.reshape(rows_total, _LANES) for x in (skey, sword, sqword)]
+
+    outs = pl.pallas_call(
+        _make_kernel(mode_bits, fields, qbits, qwindow, tile_len),
+        grid=grid,
+        in_specs=[block, block, block, pl.BlockSpec((4,), lambda i: (0,))],
+        out_specs=[block, block, block, block,
+                   pl.BlockSpec((grid[0], 1), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32)]
+        * 3
+        + [jax.ShapeDtypeStruct((rows_total, _LANES), jnp.uint32),
+           jax.ShapeDtypeStruct((grid[0], 1), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(shaped[0], shaped[1], shaped[2], params)
+    return ([o.reshape(-1) for o in outs[:4]], outs[4][:, 0])

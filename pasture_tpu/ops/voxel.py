@@ -51,6 +51,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -95,6 +96,10 @@ import numpy as _np
 # numpy scalar, NOT jnp: a module-level jnp constant would become a leaked
 # tracer if this module were first imported inside a jit trace
 _INVALID_KEY = _np.uint32(0xFFFFFFFF)
+
+# tests may force the fused Pallas reduce path on/off (None = auto:
+# real accelerator only — interpret mode is too slow for production use)
+_FORCE_FUSED_REDUCE = None
 
 
 def _cast_as(x: jnp.ndarray, dtype) -> jnp.ndarray:
@@ -298,6 +303,7 @@ def voxel_downsample(batch: PointBatch, leaf_size,
                   if policy_of(name, col) != "mode"
                   and not (quantize_pos and name == position_attribute)}
     ops, layout = _flatten_cols(carry_data)
+    flat_names = [name for name, c in layout for _ in range(c)]
 
     mode_bits = 0
     packed_word = None
@@ -348,6 +354,58 @@ def voxel_downsample(batch: PointBatch, leaf_size,
     skeys = sorted_all[:nk]
     sword = sorted_all[nk] if packed_word is not None else None
     sqword = sorted_all[-1] if quantize_pos else None
+
+    # ---- fully-fused blockwise reduce+compact (Pallas fast path) -----------
+    # when every payload is packed into the secondary word, positions are
+    # quantized, the key is a single u32, and the sort tiles divide the
+    # kernel block (so no segment spans a block), the ENTIRE post-sort
+    # chain — segment flags, mean/count scans, mode selection, centroid
+    # reconstruction, output casts, prefix compaction — runs in one
+    # blockwise Pallas kernel (kernels/voxel_reduce_kernel.py)
+    from .kernels.voxel_reduce_kernel import (REDUCE_BLOCK,
+                                              fused_sorted_voxel_reduce)
+    from .compact import _merge_tiles
+    tile_len = cap // sort_tiles
+    _scalar_leaf = jnp.ndim(leaf_size) == 0
+    use_fused_reduce = (
+        quantize_pos and nk == 1 and packed_word is not None
+        and not loose_idx and _scalar_leaf
+        and all(policy_of(flat_names[i], batch.data[flat_names[i]])
+                == "mean" for i, _, _, _ in pack_plan)
+        and set(mode_names) <= ({fused_mode} if fused_mode else set())
+        and (fused_mode is None
+             or not jnp.issubdtype(batch.data[fused_mode].dtype,
+                                   jnp.signedinteger))
+        and cap % REDUCE_BLOCK == 0 and REDUCE_BLOCK % tile_len == 0
+        and (_FORCE_FUSED_REDUCE if _FORCE_FUSED_REDUCE is not None
+             else jax.default_backend() != "cpu"))
+    if use_fused_reduce:
+        fields = tuple(
+            (shift, w,
+             bool(jnp.issubdtype(jnp.dtype(dt_), jnp.signedinteger)),
+             int(jnp.iinfo(dt_).min), int(jnp.iinfo(dt_).max))
+            for _, shift, w, dt_ in pack_plan)
+        streams, cnts = fused_sorted_voxel_reduce(
+            skeys[0], sword, sqword, bmin.astype(jnp.float32), leaf_size,
+            mode_bits, fields, qbits, qwindow, tile_len, semantics)
+        blocks = cap // REDUCE_BLOCK
+        merged, num_voxels = _merge_tiles(
+            [s.reshape(blocks, REDUCE_BLOCK) for s in streams], cnts,
+            mask, cap, REDUCE_BLOCK)
+        px, py, pz, oword = merged
+        reduced_f: Dict[str, jnp.ndarray] = {
+            position_attribute:
+                jnp.stack([px, py, pz], axis=1).astype(pdt)}
+        for i, shift, w, dt_ in pack_plan:
+            u = (oword >> jnp.uint32(shift)) & jnp.uint32((1 << w) - 1)
+            if jnp.issubdtype(jnp.dtype(dt_), jnp.signedinteger):
+                sb = jnp.int32(1 << (w - 1))
+                u = (u.astype(jnp.int32) ^ sb) - sb
+            reduced_f[flat_names[i]] = u.astype(dt_)
+        if fused_mode is not None:
+            mu = oword >> jnp.uint32(32 - mode_bits)
+            reduced_f[fused_mode] = mu.astype(batch.data[fused_mode].dtype)
+        return PointBatch(reduced_f, num_voxels, batch.schema, batch.meta)
 
     def _unpack(shift, w, dtype):
         u = (sword >> jnp.uint32(shift)) & jnp.uint32((1 << w) - 1)

@@ -125,3 +125,78 @@ def test_fused_voxel_head_matches_internal_path(rng):
         for j in range(nv):
             d = np.linalg.norm(wp - gp[j][None, :], axis=1)
             assert d.min() < 1e-4, (sem, j, d.min())
+
+
+def test_blockwise_compact_pallas_matches_boolean_indexing(rng):
+    from pasture_tpu.ops.kernels.compact_kernel import (
+        PALLAS_COMPACT_BLOCK, blockwise_compact_pallas)
+
+    n = 2 * PALLAS_COMPACT_BLOCK
+    keep = rng.random(n) < 0.9
+    vals = np.arange(n, dtype=np.int32)
+    f = rng.random(n).astype(np.float32)
+    (c1, c2), cnts = blockwise_compact_pallas(
+        [jnp.asarray(vals), jnp.asarray(f)], jnp.asarray(keep),
+        interpret=True)
+    c1, c2, cnts = np.asarray(c1), np.asarray(c2), np.asarray(cnts)
+    B = PALLAS_COMPACT_BLOCK
+    for b in range(2):
+        kb = keep[b * B:(b + 1) * B]
+        m = kb.sum()
+        assert cnts[b] == m
+        np.testing.assert_array_equal(c1[b * B:b * B + m],
+                                      vals[b * B:(b + 1) * B][kb])
+        np.testing.assert_array_equal(c2[b * B:b * B + m],
+                                      f[b * B:(b + 1) * B][kb])
+
+
+def test_fused_sorted_voxel_reduce_matches_generic_path(rng):
+    """The fully-fused blockwise reduce+compact kernel must reproduce the
+    generic quantized pipeline exactly (same keys/qwords, same policies)."""
+    import jax
+    import jax.numpy as jnp
+    from pasture_tpu.buffers.device import PointBatch
+    from pasture_tpu.layout import attributes as att
+    from pasture_tpu.layout.schema import PointSchema
+    from pasture_tpu.ops import voxel_downsample
+    from pasture_tpu.ops import voxel as voxel_mod
+    from pasture_tpu.ops.kernels.voxel_reduce_kernel import REDUCE_BLOCK
+
+    n = REDUCE_BLOCK  # one kernel block, 16 sort tiles inside
+    tiles = 16
+    l = n // tiles
+    # spatially-disjoint x-slabs so tiled sorting is exact
+    pos = np.concatenate([np.stack([
+        rng.uniform(4 * i, 4 * i + 4, l), rng.uniform(0, 64, l),
+        rng.uniform(0, 64, l)], axis=1) for i in range(tiles)]
+    ).astype(np.float32)
+    inten = rng.integers(0, 65536, n).astype(np.uint16)
+    cls = rng.integers(0, 32, n).astype(np.uint8)
+    schema = PointSchema.from_attributes(
+        [att.POSITION_3D, att.INTENSITY, att.CLASSIFICATION])
+    data = {att.POSITION_3D.name: jnp.asarray(pos),
+            att.INTENSITY.name: jnp.asarray(inten),
+            att.CLASSIFICATION.name: jnp.asarray(cls)}
+    count = n - 1000   # exercise the invalid tail too
+    batch = PointBatch(data, jnp.asarray(count, jnp.int32), schema, {})
+    bounds = (jnp.zeros(3, jnp.float32), None)
+
+    def run():
+        return voxel_downsample(batch, 2.0, bounds=bounds,
+                                semantics="floor", grid_bits=10,
+                                position_quantization_bits=10,
+                                sort_tiles=tiles)
+
+    want = run()
+    voxel_mod._FORCE_FUSED_REDUCE = True
+    try:
+        got = run()
+    finally:
+        voxel_mod._FORCE_FUSED_REDUCE = None
+    assert int(want.count) == int(got.count)
+    nv = int(want.count)
+    for name in data:
+        np.testing.assert_allclose(
+            np.asarray(want.data[name])[:nv],
+            np.asarray(got.data[name])[:nv], rtol=1e-6, atol=2e-5,
+            err_msg=name)
