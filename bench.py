@@ -32,7 +32,7 @@ from pasture_tpu.ops.kernels import fused_voxel_head, fused_world_bounds
 N = 1 << 22  # 4M points
 LEAF = 0.5
 TARGET_POINTS_PER_S = 1e9
-K = 8  # pipeline iterations inside the single timed program
+K = 16  # pipeline iterations inside the single timed program
 TILES = 1024  # spatially-disjoint x-slabs, as tiled ingest / Morton
 #             partitioning delivers them (pasture_tpu.parallel.partition);
 #             batched per-tile sorts are ~35% cheaper than one flat sort
@@ -118,7 +118,7 @@ def run_overhead(batch: PointBatch) -> jnp.ndarray:
     return jnp.sum(batch.data["LASLocalPosition"][:8].astype(jnp.int32))
 
 
-def timed_fetch(fn, batch, repeats: int = 3) -> float:
+def timed_fetch(fn, batch, repeats: int = 5) -> float:
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()

@@ -2,8 +2,10 @@
 
 Reports points/s at 1, 2, 4, ... devices and the parallel efficiency
 relative to 1 device (the north-star "scaling efficiency at 1 chip /
-1 host / N hosts" measurement).  On a virtual CPU mesh this validates the
-harness; on a real multi-chip slice the numbers are meaningful.
+1 host / N hosts" measurement).  On a virtual CPU mesh the ABSOLUTE
+numbers are meaningless (tiny shapes, host emulation) — only the
+efficiency column and the fact that the sharded program compiles and
+runs are informative; run on a real multi-chip slice for real numbers.
 
 Usage:
   JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
