@@ -33,13 +33,13 @@ N = 1 << 22  # 4M points
 LEAF = 0.5
 TARGET_POINTS_PER_S = 1e9
 K = 16  # pipeline iterations inside the single timed program
-TILES = 1024  # spatially-disjoint x-slabs, as tiled ingest / Morton
+TILES = 1024  # spatially-disjoint z-slabs, as tiled ingest / Morton
 #             partitioning delivers them (pasture_tpu.parallel.partition);
 #             batched per-tile sorts are ~35% cheaper than one flat sort
 
 
 def make_batch(n: int) -> PointBatch:
-    """Random points arranged as TILES spatially-disjoint x-slabs (the
+    """Random points arranged as TILES spatially-disjoint z-slabs (the
     shape in which streaming ingest and the Morton partitioner hand
     batches to the voxelizer).  Slab boundaries are multiples of LEAF in
     world space so per-tile voxelization equals global voxelization."""
