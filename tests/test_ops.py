@@ -328,3 +328,34 @@ def test_voxel_downsample_sort_tiles_disjoint_equals_global(rng):
         a = np.asarray(g.data[name])[:nv][gi]
         b = np.asarray(tl.data[name])[:nv][ti]
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+def test_voxel_downsample_sort_tiles_dual_key(rng):
+    """Tiled sorting also works on the dual-u32-key (>10-bit grid) path."""
+    t, l = 4, 512
+    n = t * l
+    pos = np.concatenate([
+        np.stack([rng.uniform(4 * i, 4 * i + 4, l),
+                  rng.uniform(0, 8, l), rng.uniform(0, 8, l)], axis=1)
+        for i in range(t)])
+    schema = PointSchema.from_attributes([att.POSITION_3D, att.INTENSITY])
+    host = HostPointBuffer.from_columns(schema, {
+        att.POSITION_3D.name: pos,
+        att.INTENSITY.name: rng.integers(0, 65536, n).astype(np.uint16)})
+    from pasture_tpu.layout.dtypes import DevicePolicy
+    batch = PointBatch.from_host(host, policy=DevicePolicy.EXACT)
+    bounds = (jnp.zeros(3), None)
+    g = voxel_downsample(batch, 1.0, bounds=bounds, semantics="floor",
+                         grid_bits=16)
+    tl = voxel_downsample(batch, 1.0, bounds=bounds, semantics="floor",
+                          grid_bits=16, sort_tiles=t)
+    assert int(g.count) == int(tl.count)
+    nv = int(g.count)
+
+    def canon(o):
+        p = np.asarray(o.data[att.POSITION_3D.name])[:nv]
+        i = np.lexsort((p[:, 2], p[:, 1], p[:, 0]))
+        return (p[i], np.asarray(o.data[att.INTENSITY.name])[:nv][i])
+
+    for a, b in zip(canon(g), canon(tl)):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
