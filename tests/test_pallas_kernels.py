@@ -200,3 +200,21 @@ def test_fused_sorted_voxel_reduce_matches_generic_path(rng):
             np.asarray(want.data[name])[:nv],
             np.asarray(got.data[name])[:nv], rtol=1e-6, atol=2e-5,
             err_msg=name)
+
+
+def test_fused_world_bounds_matches_numpy(rng):
+    from pasture_tpu.ops.kernels import fused_world_bounds
+
+    n = 2 * 32768
+    local = rng.integers(-50_000, 150_000, (n, 3)).astype(np.int32)
+    scale = np.asarray([0.001, 0.002, 0.0005], np.float32)
+    th = 0.7
+    rot = np.asarray([[np.cos(th), -np.sin(th), 0],
+                      [np.sin(th), np.cos(th), 0], [0, 0, 1]], np.float32)
+    trans = np.asarray([3.0, -8.0, 0.5], np.float32)
+    mn, mx = fused_world_bounds(jnp.asarray(local), jnp.asarray(scale),
+                                jnp.asarray(rot), jnp.asarray(trans),
+                                interpret=True)
+    world = (local.astype(np.float32) * scale) @ rot.T + trans
+    np.testing.assert_allclose(np.asarray(mn), world.min(0), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(mx), world.max(0), atol=1e-3)
