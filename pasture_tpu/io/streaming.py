@@ -88,7 +88,8 @@ def streaming_bounds(path: Union[str, Path],
 def streaming_voxel_downsample(path: Union[str, Path], leaf_size: float,
                                chunk_points: int = 1 << 20,
                                grid_bits: int = 20,
-                               semantics: str = "floor") -> PointBatch:
+                               semantics: str = "floor",
+                               **voxel_kwargs) -> PointBatch:
     """Voxel-downsample a file larger than device memory.
 
     Two-stage: each chunk voxelizes against a common grid origin (the file
@@ -98,6 +99,11 @@ def streaming_voxel_downsample(path: Union[str, Path], leaf_size: float,
     the read order; the final pass re-merges them with count weights folded
     into the mean of means being a close approximation — documented
     behaviour of the two-stage merge, see parallel.ops).
+
+    Extra ``voxel_kwargs`` (e.g. ``position_quantization_bits``,
+    ``sort_tiles``) forward to :func:`~pasture_tpu.ops.voxel_downsample`
+    for its fast paths — chunks from a spatially tiled file qualify for
+    tiled sorting.
     """
     import jax.numpy as jnp
 
@@ -111,7 +117,8 @@ def streaming_voxel_downsample(path: Union[str, Path], leaf_size: float,
     partials = []
     for batch in stream_batches(path, chunk_points):
         out = voxel_downsample(batch, leaf_size, bounds=(gmin, None),
-                               semantics=semantics, grid_bits=grid_bits)
+                               semantics=semantics, grid_bits=grid_bits,
+                               **voxel_kwargs)
         host = out.to_host(trim=True)
         partials.append(host)
     from ..buffers.host import HostPointBuffer

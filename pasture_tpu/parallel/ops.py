@@ -53,8 +53,8 @@ def sharded_bounds(batch: PointBatch, mesh: Mesh,
 def sharded_voxel_downsample(batch: PointBatch, mesh: Mesh, leaf_size,
                              axis: str = POINTS_AXIS,
                              semantics: str = "floor",
-                             per_shard_counts: Optional[jnp.ndarray] = None
-                             ) -> PointBatch:
+                             per_shard_counts: Optional[jnp.ndarray] = None,
+                             **voxel_kwargs) -> PointBatch:
     """Two-stage distributed voxel downsample.
 
     Stage 1 (per shard, no communication): Morton-sorted local voxelize.
@@ -68,6 +68,11 @@ def sharded_voxel_downsample(batch: PointBatch, mesh: Mesh, leaf_size,
     input, each shard's prefix holding its local voxel centroids;
     ``per_shard_counts`` is an (n_shards,) int32 array of local voxel
     counts (the batch's ``count`` is their global sum).
+
+    Extra ``voxel_kwargs`` (``grid_bits``, ``position_quantization_bits``,
+    ``sort_tiles`` ...) forward to the per-shard
+    :func:`~pasture_tpu.ops.voxel_downsample` — Morton-partitioned shards
+    qualify for the tiled/quantized fast paths.
     """
     shardings = batch_sharding(mesh, batch, axis)
     data_specs = {k: s.spec for k, s in shardings.data.items()}
@@ -90,7 +95,7 @@ def sharded_voxel_downsample(batch: PointBatch, mesh: Mesh, leaf_size,
         lmin, _ = batch_bounds(pos, mask)
         gmin = jax.lax.pmin(lmin, axis)
         out = voxel_downsample(local, leaf_size, bounds=(gmin, None),
-                               semantics=semantics)
+                               semantics=semantics, **voxel_kwargs)
         return out.data, out.count[None]
 
     out_data, counts = shard_map(

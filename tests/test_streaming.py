@@ -59,3 +59,32 @@ def test_streaming_voxel_downsample(tmp_path, rng):
                             bounds=(jnp.asarray(buf.get(att.POSITION_3D.name).min(0), jnp.float32), None),
                             semantics="floor")
     assert n_vox == int(np.asarray(full.count))
+
+
+def test_streaming_voxel_downsample_forwards_fast_path_kwargs(tmp_path):
+    """Fast-path kwargs reach voxel_downsample through the wrapper."""
+    import numpy as np
+
+    from pasture_tpu.buffers.host import HostPointBuffer
+    from pasture_tpu.io import write_all
+    from pasture_tpu.io.streaming import streaming_voxel_downsample
+    from pasture_tpu.layout import attributes as att
+    from pasture_tpu.layout.schema import PointSchema
+
+    rng = np.random.default_rng(0)
+    n = 4096
+    schema = PointSchema.from_attributes([att.POSITION_3D, att.INTENSITY])
+    buf = HostPointBuffer.from_columns(schema, {
+        att.POSITION_3D.name: rng.uniform(0, 20, (n, 3)),
+        att.INTENSITY.name: rng.integers(0, 65536, n).astype(np.uint16)})
+    path = tmp_path / "pts.las"
+    write_all(buf, path)
+    exact = streaming_voxel_downsample(path, 1.0, chunk_points=1024,
+                                       grid_bits=10)
+    quant = streaming_voxel_downsample(path, 1.0, chunk_points=1024,
+                                       grid_bits=10,
+                                       position_quantization_bits=10)
+    assert len(exact.to_host()) == len(quant.to_host())
+    np.testing.assert_allclose(
+        quant.to_host().get(att.POSITION_3D),
+        exact.to_host().get(att.POSITION_3D), atol=1.0 / 1024 + 1e-5)
