@@ -68,44 +68,97 @@ def _compact10(v):
     return v
 
 
+def _tiered_ladder(state, stage_fns, pending, split):
+    """Run statically-unrolled ladder ``stage_fns`` with ONE runtime skip
+    point: stages[:split] always run, stages[split:] run inside a single
+    ``lax.cond`` on ``pending(state)``.  Typical data (tiny segments,
+    small displacements) skips the tail at runtime while every shift
+    amount stays STATIC.  Both finer-grained alternatives measured SLOWER
+    on v5e: a ``while_loop`` with dynamic ``pltpu.roll`` shifts (~2x cost
+    per stage), and a cond per 3-stage tier (each cond boundary forces the
+    full vector carry through VMEM, swamping the skipped work)."""
+    def run(st, fns):
+        for f in fns:
+            st = f(st)
+        return st
+
+    state = run(state, stage_fns[:split])
+    tail = stage_fns[split:]
+    if not tail:
+        return state
+    return jax.lax.cond(pending(state),
+                        lambda st: run(st, tail),
+                        lambda st: st, state)
+
+
 def _seg_totals(cols, first, rows, max_seg=None):
     """Reverse segmented sums: totals land on each segment's FIRST row.
-    Static ladder up to ``max_seg`` (segments never span a sort tile, so
-    log2(tile_len) stages suffice)."""
-    bound = min(rows * _LANES, max_seg or rows * _LANES)
-    blocked = _flat_shift_up(first.astype(jnp.int32), 1) != 0
+    Tiered static ladder: stages come in groups of ``_TIER``, each later
+    group behind a ``lax.cond`` on "any window still open", so the ladder
+    effectively exits at log2(actual max segment length) instead of the
+    static log2(max_seg) worst case (segments are typically a handful of
+    points: ~3 live stages instead of 12)."""
+    total = rows * _LANES
+    bound = min(total, max_seg or total)
+    flat_idx = (jax.lax.broadcasted_iota(jnp.int32, first.shape, 0) * _LANES
+                + jax.lax.broadcasted_iota(jnp.int32, first.shape, 1))
+    blk0 = (_flat_shift_up(first.astype(jnp.int32), 1)
+            | (flat_idx == total - 1).astype(jnp.int32))
+
+    def make_stage(s):
+        def stage(st):
+            blk, cs = st
+            ok = blk == 0
+            cs = tuple(c + jnp.where(ok, _flat_shift_up(c, s),
+                                     jnp.zeros_like(c)) for c in cs)
+            blk = (blk | _flat_shift_up(blk, s)
+                   | (flat_idx >= total - s).astype(jnp.int32))
+            return (blk, cs)
+        return stage
+
+    stages = []
     s = 1
     while s < bound:
-        ok = ~blocked
-        cols = [c + jnp.where(ok, _flat_shift_up(c, s), jnp.zeros_like(c))
-                for c in cols]
-        blocked = blocked | (_flat_shift_up(blocked.astype(jnp.int32), s)
-                             != 0)
+        stages.append(make_stage(s))
         s <<= 1
-    return cols
+    # static prefix covers segments up to 16 points; longer ones take the
+    # conditional tail
+    blk, out = _tiered_ladder((blk0, tuple(cols)), stages,
+                              lambda st: jnp.any(st[0] == 0), split=4)
+    return list(out)
 
 
 def _seg_max(col, first, rows, neutral, max_seg=None):
     """Reverse segmented max landing on first rows.  Unlike the sum ladder
     (where the zero shift-fill past the block end is additive-neutral),
     max needs rows past the end to read as BLOCKED — the flat index guard
-    handles the tail."""
+    handles the tail.  Tiered skip as in :func:`_seg_totals`."""
     total = rows * _LANES
     bound = min(total, max_seg or total)
     flat_idx = (jax.lax.broadcasted_iota(jnp.int32, col.shape, 0) * _LANES
                 + jax.lax.broadcasted_iota(jnp.int32, col.shape, 1))
-    blocked = (_flat_shift_up(first.astype(jnp.int32), 1) != 0) \
-        | (flat_idx == total - 1)
+    blk0 = (_flat_shift_up(first.astype(jnp.int32), 1)
+            | (flat_idx == total - 1).astype(jnp.int32))
+
+    def make_stage(s):
+        def stage(st):
+            blk, c = st
+            ok = blk == 0
+            c = jnp.maximum(c, jnp.where(ok, _flat_shift_up(c, s),
+                                         jnp.full_like(c, neutral)))
+            blk = (blk | _flat_shift_up(blk, s)
+                   | (flat_idx >= total - s).astype(jnp.int32))
+            return (blk, c)
+        return stage
+
+    stages = []
     s = 1
     while s < bound:
-        ok = ~blocked
-        col = jnp.maximum(col, jnp.where(ok, _flat_shift_up(col, s),
-                                         jnp.full_like(col, neutral)))
-        blocked = (blocked
-                   | (_flat_shift_up(blocked.astype(jnp.int32), s) != 0)
-                   | (flat_idx >= total - s))
+        stages.append(make_stage(s))
         s <<= 1
-    return col
+    _, out = _tiered_ladder((blk0, col), stages,
+                            lambda st: jnp.any(st[0] == 0), split=4)
+    return out
 
 
 def _make_kernel(mode_bits: int, fields, qbits: int, qwindow: float,
@@ -206,17 +259,35 @@ def _make_kernel(mode_bits: int, fields, qbits: int, qwindow: float,
         rank_incl = (row_inc + (offs - row_tot)).astype(jnp.int32)
         dist = jnp.where(first, flat_idx - (rank_incl - 1), 0)
 
-        occ = first
-        vals = [px, py, pz, out_word]
+        # tiered LSB-first ladder: later stage groups are skipped via
+        # lax.cond once every kept row has reached its destination
+        # (log2(max displacement) live stages; displacement is bounded by
+        # the block's dropped-row count, typically far below the static
+        # log2(block) = 16)
+        def make_stage(s, k):
+            def stage(st):
+                dist, occ, vals = st
+                move = (occ != 0) & (((dist >> k) & 1) == 1)
+                inc = _flat_shift_up(move.astype(jnp.int32), s) != 0
+                vals = tuple(jnp.where(inc, _flat_shift_up(v, s), v)
+                             for v in vals)
+                dist = jnp.where(inc, _flat_shift_up(dist, s) - s, dist)
+                occ = ((occ != 0) & ~move | inc).astype(jnp.int32)
+                return (dist, occ, vals)
+            return stage
+
+        stages = []
         s, k = 1, 0
         while s < total:
-            move = occ & (((dist >> k) & 1) == 1)
-            inc = _flat_shift_up(move.astype(jnp.int32), s) != 0
-            vals = [jnp.where(inc, _flat_shift_up(v, s), v) for v in vals]
-            dist = jnp.where(inc, _flat_shift_up(dist, s) - s, dist)
-            occ = (occ & ~move) | inc
+            stages.append(make_stage(s, k))
             s <<= 1
             k += 1
+        state = (dist, first.astype(jnp.int32), (px, py, pz, out_word))
+        # static prefix covers displacements up to 1024 (a block can drop
+        # that many rows before the cond tail ever fires)
+        _, _, vals = _tiered_ladder(
+            state, stages,
+            lambda st: jnp.any((st[1] != 0) & (st[0] > 0)), split=10)
 
         px_ref[...] = vals[0]
         py_ref[...] = vals[1]
