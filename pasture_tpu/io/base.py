@@ -19,7 +19,7 @@ from ..math.aabb import AABB
 __all__ = [
     "Metadata", "PointReader", "PointWriter", "SeekToPoint", "IOFactory",
     "DEFAULT_FACTORY", "open_reader", "open_writer", "point_count",
-    "read_all", "write_all",
+    "read_all", "read_all_into", "write_all",
 ]
 
 
@@ -163,6 +163,15 @@ def read_all(path: Union[str, Path],
     """Open + read every point (reference base/mod.rs:28-45)."""
     with open_reader(path) as r:
         return r.read_all(schema)
+
+
+def read_all_into(buffer: HostPointBuffer,
+                  path: Union[str, Path]) -> HostPointBuffer:
+    """Open + read every point into ``buffer``'s schema and append
+    (reference ``read_all_into``, base/mod.rs:48-60).  Returns the
+    extended buffer (host buffers are value-style, so append returns new)."""
+    with open_reader(path) as r:
+        return buffer.append(r.read_all(buffer.schema))
 
 
 def write_all(buffer: HostPointBuffer, path: Union[str, Path], **kw) -> None:

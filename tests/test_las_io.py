@@ -154,6 +154,28 @@ def test_read_extra_bytes(reference_test_data, fmt_number):
     np.testing.assert_array_equal(buf.get(eb[0].name), I.astype(np.uint32))
 
 
+def test_read_all_into_appends_in_buffer_schema(reference_test_data):
+    """``read_all_into`` appends in the destination schema with conversion
+    (reference base/mod.rs:48-60)."""
+    from pasture_tpu.io import read_all_into
+
+    src = f"{reference_test_data}/10_points_format_0.las"
+    first = read_all(src)
+    both = read_all_into(first, src)
+    assert len(both) == 2 * len(first)
+    assert both.schema == first.schema
+    for name in first.schema.names:
+        np.testing.assert_array_equal(both.get(name)[len(first):],
+                                      first.get(name), err_msg=name)
+    # conversion path: destination holds a converted subset schema
+    sub = first.convert_schema(first.schema.subset(
+        [att.POSITION_3D.name, att.INTENSITY.name]))
+    grown = read_all_into(sub, src)
+    assert len(grown) == 2 * len(sub)
+    np.testing.assert_array_equal(grown.get(att.INTENSITY.name)[:len(sub)],
+                                  sub.get(att.INTENSITY.name))
+
+
 @pytest.mark.parametrize("fmt_number", range(11))
 def test_write_read_roundtrip(tmp_path, reference_test_data, fmt_number):
     src = f"{reference_test_data}/10_points_format_{fmt_number}.las"
