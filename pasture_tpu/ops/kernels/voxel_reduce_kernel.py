@@ -168,7 +168,8 @@ def _make_kernel(mode_bits: int, fields, qbits: int, qwindow: float,
     rows = _BLOCK_ROWS
     total = rows * _LANES
 
-    def kernel(key_ref, word_ref, q_ref, params_ref, out_ref, cnt_ref):
+    def kernel(key_ref, word_ref, q_ref, params_ref,
+               px_ref, py_ref, pz_ref, word_out_ref, cnt_ref):
         p = params_ref[:]
         bmin, leaf = p[0:3], p[3]
 
