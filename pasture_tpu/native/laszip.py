@@ -7,11 +7,14 @@ extension (src/laszip.cpp, built on first use) decodes LAZ chunks in
 parallel on host threads; this module is the ctypes driver plus the
 chunk-table/VLR bookkeeping.
 
-Currently implements LASzip compressor 2 ("pointwise chunked") with items
-POINT10 v2 / GPSTIME11 v2 / RGB12 v2 / WAVEPACKET13 v1 / BYTE v2 — i.e.
-LAS point formats 0-5 (+extra bytes).  The layered compressor 3 (formats
-6-8) is not implemented yet; the reference itself rejects LAZ formats 9/10
-(raw_readers.rs:451-455).
+Implements LASzip compressor 2 ("pointwise chunked", items POINT10 v2 /
+GPSTIME11 v2 / RGB12 v2 / WAVEPACKET13 v1 / BYTE v2 — LAS point formats
+0-5 + extra bytes) and compressor 3 ("layered", items POINT14 / RGB14 /
+RGBNIR14 / BYTE14 all v3 — formats 6-8 + extra bytes), both bit-exact
+against the laszip-produced reference fixtures.  Fixed-size and
+variable-size (chunk_size == 0xFFFFFFFF, e.g. COPC) chunk tables are
+supported on read.  LAZ formats 9/10 (WAVEPACKET14) are rejected, as in
+the reference (raw_readers.rs:451-455).
 """
 
 from __future__ import annotations
@@ -37,6 +40,10 @@ _ITEM_POINT10 = 6
 _ITEM_GPSTIME11 = 7
 _ITEM_RGB12 = 8
 _ITEM_WAVEPACKET13 = 9
+_ITEM_POINT14 = 10
+_ITEM_RGB14 = 11
+_ITEM_RGBNIR14 = 12
+_ITEM_BYTE14 = 14
 
 _DEFAULT_CHUNK = 50_000
 
@@ -65,11 +72,22 @@ class LazVlrRecord:
 
 def laszip_items_for_format(point_format: int, extra_bytes: int
                             ) -> List[Tuple[int, int, int]]:
-    """Item list for a point format (pointwise-chunked scheme, formats 0-5)."""
-    if point_format > 5:
+    """Item list for a point format: pointwise-chunked (compressor 2) for
+    formats 0-5, layered (compressor 3) for 6-8.  Formats 9/10 are
+    rejected exactly like the reference (raw_readers.rs:451-455)."""
+    if point_format > 8:
         raise NotImplementedError(
-            f"LAZ write for point format {point_format} requires the layered "
-            f"compressor (not implemented)")
+            f"LAZ for extended-waveform point format {point_format} is "
+            f"unsupported (the reference rejects it too)")
+    if point_format >= 6:
+        items = [(_ITEM_POINT14, 30, 3)]
+        if point_format == 7:
+            items.append((_ITEM_RGB14, 6, 3))
+        elif point_format == 8:
+            items.append((_ITEM_RGBNIR14, 8, 3))
+        if extra_bytes:
+            items.append((_ITEM_BYTE14, extra_bytes, 3))
+        return items
     items = [(_ITEM_POINT10, 20, 2)]
     if point_format in (1, 3, 4, 5):
         items.append((_ITEM_GPSTIME11, 8, 2))
@@ -84,10 +102,12 @@ def laszip_items_for_format(point_format: int, extra_bytes: int
 
 def build_laszip_vlr(point_format: int, extra_bytes: int,
                      chunk_size: int = _DEFAULT_CHUNK) -> LasVlr:
-    """The LASzip VLR announcing compressor 2 + the item list."""
+    """The LASzip VLR announcing the compressor + item list (compressor 2
+    below point format 6, layered compressor 3 from 6 up)."""
     items = laszip_items_for_format(point_format, extra_bytes)
-    payload = struct.pack("<HHBBHIIqqH", 2, 0, 2, 4, 1, 0, chunk_size,
-                          0, -1, len(items))
+    compressor = 3 if point_format >= 6 else 2
+    payload = struct.pack("<HHBBHIIqqH", compressor, 0, 2, 4, 1, 0,
+                          chunk_size, 0, -1, len(items))
     for t, s, v in items:
         payload += struct.pack("<HHH", t, s, v)
     return LasVlr(LASZIP_USER_ID, LASZIP_RECORD_ID,
@@ -122,8 +142,24 @@ def _native(required: bool = False):
         ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.POINTER(ctypes.c_uint64), ctypes.c_int]
     lib.laz_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+    lib.laz_set_point14_tables.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.laz_set_point14_tables.restype = None
     _lib = lib
     return lib
+
+
+def set_point14_tables(map_6ctx: Optional[bytes] = None,
+                       level_8ctx: Optional[bytes] = None) -> None:
+    """Override the layered codec's (number_of_returns, return_number) ->
+    context tables (two 16x16 row-major byte tables).  The built-in tables
+    are verified bit-exact against the laszip-produced reference fixtures;
+    this hook exists as an escape hatch should an entry not exercised by
+    those fixtures ever prove divergent on a real-world file."""
+    lib = _native(required=True)
+    for t in (map_6ctx, level_8ctx):
+        if t is not None and len(t) != 256:
+            raise ValueError("context tables must be 256 bytes (16x16)")
+    lib.laz_set_point14_tables(map_6ctx, level_8ctx)
 
 
 def _pack_items(items) -> "ctypes.Array":
@@ -139,10 +175,10 @@ class LazDecompressor:
     def __init__(self, buf, header: LasHeader) -> None:
         self.header = header
         self.vlr = LazVlrRecord.from_header(header)
-        if self.vlr.compressor not in (2,):
+        if self.vlr.compressor not in (2, 3):
             raise NotImplementedError(
-                f"LASzip compressor {self.vlr.compressor} not supported yet "
-                f"(point formats 6+ use the layered compressor)")
+                f"LASzip compressor {self.vlr.compressor} not supported "
+                f"(only pointwise-chunked and layered)")
         lib = _native(required=True)
         self._lib = lib
         self._data = bytes(buf)

@@ -3,11 +3,13 @@
 // Replaces the pure-Rust `laz` crate the reference depends on
 // (pasture-io uses laz::LasZipDecompressor / LasZipCompressor,
 // raw_readers.rs:418-660).  Implements the LASzip 2.x "pointwise chunked"
-// scheme (compressor 2): Amir Said's FastAC range coder with adaptive
+// scheme (compressor 2: Amir Said's FastAC range coder with adaptive
 // bit/symbol models, the k-bit corrector IntegerCompressor, and the item
-// codecs POINT10 v2, GPSTIME11 v2, RGB12 v2, WAVEPACKET13 v1, BYTE v2.
-// Chunks are independent, so decompression fans out over host threads
-// (SURVEY.md §7 hard part (d)).
+// codecs POINT10 v2, GPSTIME11 v2, RGB12 v2, WAVEPACKET13 v1, BYTE v2)
+// and the LAS 1.4 "layered" scheme (compressor 3: POINT14 / RGB14 /
+// RGBNIR14 / BYTE14 all v3, independent range coder per field layer,
+// scanner-channel contexts).  Chunks are independent, so decompression
+// fans out over host threads (SURVEY.md §7 hard part (d)).
 //
 // Exposed as a small extern "C" surface driven from Python via ctypes
 // (pasture_tpu/native/laszip.py).
@@ -16,6 +18,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <memory>
 #include <vector>
 #include <thread>
 #include <algorithm>
@@ -1238,6 +1241,1002 @@ struct Bytev2 {
   }
 };
 
+// =================================================================== v3 =====
+// LASzip "native LAS 1.4 extension" layered compression (compressor 3):
+// item codecs POINT14 v3, RGB14 v3, RGBNIR14 v3, BYTE14 v3.  Each chunk is
+// [raw first point][u32 count][u32 layer sizes...][layer byte blocks...],
+// with an independent range coder per layer (verified against the
+// reference fixtures 10_points_format_{6,7,8}.laz; the reference itself
+// reads these through the laz crate, raw_readers.rs:418-660, and rejects
+// only formats 9/10, raw_readers.rs:451-455).
+
+// (number_of_returns, return_number) -> context tables of the published
+// LASzip laspoint14 scheme.  The 6-context map is the symmetric banded
+// merge of the v2 8x8 map onto 6 context groups; the 8-level table is
+// clamp(|n - r|, 0, 7).  Both validated bit-exact against the
+// laszip-produced reference fixtures; laz_set_point14_tables() allows
+// injection should a divergent entry ever surface on other files.
+static U8 number_return_map_6ctx[16][16] = {
+    {0, 1, 2, 3, 4, 5, 3, 4, 4, 5, 5, 5, 5, 5, 5, 5},
+    {1, 0, 1, 3, 4, 5, 3, 4, 4, 5, 5, 5, 5, 5, 5, 5},
+    {2, 1, 0, 1, 3, 4, 3, 3, 4, 4, 4, 5, 5, 5, 5, 5},
+    {3, 3, 1, 0, 1, 3, 2, 3, 3, 4, 4, 4, 5, 5, 5, 5},
+    {4, 4, 3, 1, 0, 1, 2, 2, 3, 3, 4, 4, 4, 5, 5, 5},
+    {5, 5, 4, 3, 1, 0, 1, 2, 2, 3, 3, 4, 4, 4, 5, 5},
+    {3, 3, 3, 2, 2, 1, 0, 1, 2, 2, 3, 3, 4, 4, 4, 5},
+    {4, 4, 3, 3, 2, 2, 1, 0, 1, 2, 2, 3, 3, 4, 4, 4},
+    {4, 4, 4, 3, 3, 2, 2, 1, 0, 1, 2, 2, 3, 3, 4, 4},
+    {5, 5, 4, 4, 3, 3, 2, 2, 1, 0, 1, 2, 2, 3, 3, 4},
+    {5, 5, 4, 4, 4, 3, 3, 2, 2, 1, 0, 1, 2, 2, 3, 3},
+    {5, 5, 5, 4, 4, 4, 3, 3, 2, 2, 1, 0, 1, 2, 2, 3},
+    {5, 5, 5, 5, 4, 4, 4, 3, 3, 2, 2, 1, 0, 1, 2, 2},
+    {5, 5, 5, 5, 5, 4, 4, 4, 3, 3, 2, 2, 1, 0, 1, 2},
+    {5, 5, 5, 5, 5, 5, 4, 4, 4, 3, 3, 2, 2, 1, 0, 1},
+    {5, 5, 5, 5, 5, 5, 5, 4, 4, 4, 3, 3, 2, 2, 1, 0}};
+
+static U8 number_return_level_8ctx[16][16];
+static bool level_8ctx_initialized = false;
+static void init_level_8ctx() {
+  if (level_8ctx_initialized) return;
+  for (int n = 0; n < 16; n++)
+    for (int r = 0; r < 16; r++) {
+      int d = n > r ? n - r : r - n;
+      number_return_level_8ctx[n][r] = U8(d > 7 ? 7 : d);
+    }
+  level_8ctx_initialized = true;
+}
+
+// host mirror of the 30-byte LAS 1.4 point record (wire layout
+// X/Y/Z i32, intensity u16, returns byte, flags byte, classification,
+// user_data, scan_angle i16, point_source u16, gps_time f64)
+struct LasPoint14 {
+  I32 X, Y, Z;
+  U16 intensity;
+  U8 return_number, number_of_returns;
+  U8 classification_flags, scanner_channel, scan_direction_flag,
+      edge_of_flight_line;
+  U8 classification, user_data;
+  I16 scan_angle;
+  U16 point_source_ID;
+  I64F64 gps_time;
+  bool gps_time_change;
+};
+
+static void unpack14(const U8* w, LasPoint14& p) {
+  std::memcpy(&p.X, w + 0, 4);
+  std::memcpy(&p.Y, w + 4, 4);
+  std::memcpy(&p.Z, w + 8, 4);
+  std::memcpy(&p.intensity, w + 12, 2);
+  p.return_number = w[14] & 0x0F;
+  p.number_of_returns = w[14] >> 4;
+  p.classification_flags = w[15] & 0x0F;
+  p.scanner_channel = (w[15] >> 4) & 3;
+  p.scan_direction_flag = (w[15] >> 6) & 1;
+  p.edge_of_flight_line = (w[15] >> 7) & 1;
+  p.classification = w[16];
+  p.user_data = w[17];
+  std::memcpy(&p.scan_angle, w + 18, 2);
+  std::memcpy(&p.point_source_ID, w + 20, 2);
+  std::memcpy(&p.gps_time.u64, w + 22, 8);
+  p.gps_time_change = false;
+}
+
+static void pack14(const LasPoint14& p, U8* w) {
+  std::memcpy(w + 0, &p.X, 4);
+  std::memcpy(w + 4, &p.Y, 4);
+  std::memcpy(w + 8, &p.Z, 4);
+  std::memcpy(w + 12, &p.intensity, 2);
+  w[14] = U8((p.return_number & 0x0F) | (p.number_of_returns << 4));
+  w[15] = U8((p.classification_flags & 0x0F) | ((p.scanner_channel & 3) << 4) |
+             ((p.scan_direction_flag & 1) << 6) |
+             ((p.edge_of_flight_line & 1) << 7));
+  w[16] = p.classification;
+  w[17] = p.user_data;
+  std::memcpy(w + 18, &p.scan_angle, 2);
+  std::memcpy(w + 20, &p.point_source_ID, 2);
+  std::memcpy(w + 22, &p.gps_time.u64, 8);
+}
+
+// POINT14 layer indices (chunk_sizes order)
+enum P14Layer {
+  L_XY = 0, L_Z, L_CLS, L_FLG, L_INT, L_SCA, L_UD, L_PS, L_GPS, P14_NLAYERS
+};
+
+struct Point14Ctx {
+  bool unused;
+  LasPoint14 last;
+  U16 last_intensity[8];
+  StreamingMedian5 last_X_diff_median5[12], last_Y_diff_median5[12];
+  I32 last_Z[8];
+  ArithmeticModel m_changed_values[8];  // 128 syms, ctx = last-point-return
+  ArithmeticModel m_scanner_channel;    // 3 syms
+  std::unique_ptr<ArithmeticModel> m_number_of_returns[16];  // lazy, 16 syms
+  ArithmeticModel m_return_number_gps_same;                  // 13 syms
+  std::unique_ptr<ArithmeticModel> m_return_number[16];      // lazy, 16 syms
+  IntegerCodec ic_dX, ic_dY, ic_Z;
+  std::unique_ptr<ArithmeticModel> m_classification[64];  // lazy, 256 syms
+  std::unique_ptr<ArithmeticModel> m_flags[64];            // lazy, 64 syms
+  std::unique_ptr<ArithmeticModel> m_user_data[64];        // lazy, 256 syms
+  IntegerCodec ic_intensity, ic_scan_angle, ic_point_source_ID;
+  ArithmeticModel m_gpstime_multi, m_gpstime_0diff;
+  IntegerCodec ic_gpstime;
+  U32 last_seq, next_seq;
+  I64F64 last_gpstime[4];
+  I32 last_gpstime_diff[4];
+  I32 multi_extreme_counter[4];
+};
+
+struct Point14v3 {
+  bool for_compress;
+  Point14Ctx ctx[4];
+  U32 cc;  // current context (scanner channel)
+  Decoder dec[P14_NLAYERS];
+  Encoder enc[P14_NLAYERS];
+  bool changed[P14_NLAYERS];  // layer present (read) / value changed (write)
+
+  void initContext(U32 c, const LasPoint14& seed) {
+    bool fc = for_compress;
+    Point14Ctx& x = ctx[c];
+    for (int i = 0; i < 8; i++) x.m_changed_values[i].init(128, fc);
+    x.m_scanner_channel.init(3, fc);
+    for (int i = 0; i < 16; i++) {
+      x.m_number_of_returns[i].reset();
+      x.m_return_number[i].reset();
+    }
+    x.m_return_number_gps_same.init(13, fc);
+    x.ic_dX.setup(32, 2);
+    x.ic_dX.initModels(fc);
+    x.ic_dY.setup(32, 22);
+    x.ic_dY.initModels(fc);
+    x.ic_Z.setup(32, 20);
+    x.ic_Z.initModels(fc);
+    for (int i = 0; i < 12; i++) {
+      x.last_X_diff_median5[i].init();
+      x.last_Y_diff_median5[i].init();
+    }
+    for (int i = 0; i < 8; i++) x.last_Z[i] = seed.Z;
+    for (int i = 0; i < 64; i++) {
+      x.m_classification[i].reset();
+      x.m_flags[i].reset();
+      x.m_user_data[i].reset();
+    }
+    x.ic_intensity.setup(16, 4);
+    x.ic_intensity.initModels(fc);
+    for (int i = 0; i < 8; i++) x.last_intensity[i] = seed.intensity;
+    x.ic_scan_angle.setup(16, 2);
+    x.ic_scan_angle.initModels(fc);
+    x.ic_point_source_ID.setup(16, 1);
+    x.ic_point_source_ID.initModels(fc);
+    x.m_gpstime_multi.init(GPS_MULTI_TOTAL, fc);
+    x.m_gpstime_0diff.init(5, fc);
+    x.ic_gpstime.setup(32, 9);
+    x.ic_gpstime.initModels(fc);
+    x.last_seq = 0;
+    x.next_seq = 0;
+    for (int i = 0; i < 4; i++) {
+      x.last_gpstime[i].u64 = 0;
+      x.last_gpstime_diff[i] = 0;
+      x.multi_extreme_counter[i] = 0;
+    }
+    x.last_gpstime[0] = seed.gps_time;
+    x.last = seed;
+    x.last.gps_time_change = false;
+    x.unused = false;
+  }
+
+  ArithmeticModel* lazy(std::unique_ptr<ArithmeticModel>& slot, U32 nsyms) {
+    if (!slot) {
+      slot.reset(new ArithmeticModel());
+      slot->init(nsyms, for_compress);
+    }
+    return slot.get();
+  }
+
+  // ---- gps time (v3 flavor of the GPSTIME11 scheme: no "unchanged" in
+  //      the 0diff model since gps time is only coded when it changed) ----
+  void readGpsTime(Point14Ctx& x) {
+    if (x.last_gpstime_diff[x.last_seq] == 0) {
+      U32 multi = dec[L_GPS].decodeSymbol(x.m_gpstime_0diff);
+      if (multi == 0) {  // 32-bit diff
+        x.last_gpstime_diff[x.last_seq] =
+            x.ic_gpstime.decompress(dec[L_GPS], 0, 0);
+        x.last_gpstime[x.last_seq].i64 += x.last_gpstime_diff[x.last_seq];
+        x.multi_extreme_counter[x.last_seq] = 0;
+      } else if (multi == 1) {  // full 64-bit
+        x.next_seq = (x.next_seq + 1) & 3;
+        U64 hi = U64(U32(x.ic_gpstime.decompress(
+            dec[L_GPS], I32(x.last_gpstime[x.last_seq].u64 >> 32), 8)));
+        x.last_gpstime[x.next_seq].u64 = (hi << 32) | U64(dec[L_GPS].readInt());
+        x.last_seq = x.next_seq;
+        x.last_gpstime_diff[x.last_seq] = 0;
+        x.multi_extreme_counter[x.last_seq] = 0;
+      } else {  // switch to another sequence
+        x.last_seq = (x.last_seq + multi - 1) & 3;
+        readGpsTime(x);
+      }
+    } else {
+      U32 multi = dec[L_GPS].decodeSymbol(x.m_gpstime_multi);
+      if (multi == 1) {
+        x.last_gpstime[x.last_seq].i64 += x.ic_gpstime.decompress(
+            dec[L_GPS], x.last_gpstime_diff[x.last_seq], 1);
+        x.multi_extreme_counter[x.last_seq] = 0;
+      } else if (multi < GPS_MULTI_UNCHANGED) {
+        I32 gpstime_diff;
+        if (multi == 0) {
+          gpstime_diff = x.ic_gpstime.decompress(dec[L_GPS], 0, 7);
+          x.multi_extreme_counter[x.last_seq]++;
+          if (x.multi_extreme_counter[x.last_seq] > 3) {
+            x.last_gpstime_diff[x.last_seq] = gpstime_diff;
+            x.multi_extreme_counter[x.last_seq] = 0;
+          }
+        } else if (multi < U32(GPS_MULTI)) {
+          if (multi < 10)
+            gpstime_diff = x.ic_gpstime.decompress(
+                dec[L_GPS], I32(multi) * x.last_gpstime_diff[x.last_seq], 2);
+          else
+            gpstime_diff = x.ic_gpstime.decompress(
+                dec[L_GPS], I32(multi) * x.last_gpstime_diff[x.last_seq], 3);
+        } else if (multi == U32(GPS_MULTI)) {
+          gpstime_diff = x.ic_gpstime.decompress(
+              dec[L_GPS], GPS_MULTI * x.last_gpstime_diff[x.last_seq], 4);
+          x.multi_extreme_counter[x.last_seq]++;
+          if (x.multi_extreme_counter[x.last_seq] > 3) {
+            x.last_gpstime_diff[x.last_seq] = gpstime_diff;
+            x.multi_extreme_counter[x.last_seq] = 0;
+          }
+        } else {
+          I32 neg_multi = GPS_MULTI - I32(multi);
+          if (neg_multi > GPS_MULTI_MINUS) {
+            gpstime_diff = x.ic_gpstime.decompress(
+                dec[L_GPS], neg_multi * x.last_gpstime_diff[x.last_seq], 5);
+          } else {
+            gpstime_diff = x.ic_gpstime.decompress(
+                dec[L_GPS],
+                GPS_MULTI_MINUS * x.last_gpstime_diff[x.last_seq], 6);
+            x.multi_extreme_counter[x.last_seq]++;
+            if (x.multi_extreme_counter[x.last_seq] > 3) {
+              x.last_gpstime_diff[x.last_seq] = gpstime_diff;
+              x.multi_extreme_counter[x.last_seq] = 0;
+            }
+          }
+        }
+        x.last_gpstime[x.last_seq].i64 += gpstime_diff;
+      } else if (multi == GPS_MULTI_CODE_FULL) {
+        x.next_seq = (x.next_seq + 1) & 3;
+        U64 hi = U64(U32(x.ic_gpstime.decompress(
+            dec[L_GPS], I32(x.last_gpstime[x.last_seq].u64 >> 32), 8)));
+        x.last_gpstime[x.next_seq].u64 = (hi << 32) | U64(dec[L_GPS].readInt());
+        x.last_seq = x.next_seq;
+        x.last_gpstime_diff[x.last_seq] = 0;
+        x.multi_extreme_counter[x.last_seq] = 0;
+      } else {
+        x.last_seq = (x.last_seq + multi - GPS_MULTI_CODE_FULL) & 3;
+        readGpsTime(x);
+      }
+    }
+  }
+
+  void writeGpsTime(Point14Ctx& x, I64F64 t) {
+    if (x.last_gpstime_diff[x.last_seq] == 0) {
+      I64 curr_diff_64 = t.i64 - x.last_gpstime[x.last_seq].i64;
+      I32 curr_diff = I32(curr_diff_64);
+      if (curr_diff_64 == I64(curr_diff)) {
+        enc[L_GPS].encodeSymbol(x.m_gpstime_0diff, 0);
+        x.ic_gpstime.compress(enc[L_GPS], 0, curr_diff, 0);
+        x.last_gpstime_diff[x.last_seq] = curr_diff;
+        x.multi_extreme_counter[x.last_seq] = 0;
+      } else {
+        for (U32 i = 1; i < 4; i++) {
+          I64 other = t.i64 - x.last_gpstime[(x.last_seq + i) & 3].i64;
+          if (other == I64(I32(other))) {
+            enc[L_GPS].encodeSymbol(x.m_gpstime_0diff, i + 1);
+            x.last_seq = (x.last_seq + i) & 3;
+            writeGpsTime(x, t);
+            return;
+          }
+        }
+        enc[L_GPS].encodeSymbol(x.m_gpstime_0diff, 1);
+        x.ic_gpstime.compress(enc[L_GPS],
+                              I32(x.last_gpstime[x.last_seq].u64 >> 32),
+                              I32(t.u64 >> 32), 8);
+        enc[L_GPS].writeInt(U32(t.u64));
+        x.next_seq = (x.next_seq + 1) & 3;
+        x.last_seq = x.next_seq;
+        x.last_gpstime_diff[x.last_seq] = 0;
+        x.multi_extreme_counter[x.last_seq] = 0;
+      }
+      x.last_gpstime[x.last_seq].i64 = t.i64;
+    } else {
+      I64 curr_diff_64 = t.i64 - x.last_gpstime[x.last_seq].i64;
+      I32 curr_diff = I32(curr_diff_64);
+      if (curr_diff_64 == I64(curr_diff)) {
+        float multi_f =
+            float(curr_diff) / float(x.last_gpstime_diff[x.last_seq]);
+        I32 multi = multi_f >= 0 ? I32(multi_f + 0.5f) : I32(multi_f - 0.5f);
+        if (multi == 1) {
+          enc[L_GPS].encodeSymbol(x.m_gpstime_multi, 1);
+          x.ic_gpstime.compress(enc[L_GPS], x.last_gpstime_diff[x.last_seq],
+                                curr_diff, 1);
+          x.multi_extreme_counter[x.last_seq] = 0;
+        } else if (multi > 0) {
+          if (multi < GPS_MULTI) {
+            enc[L_GPS].encodeSymbol(x.m_gpstime_multi, U32(multi));
+            if (multi < 10)
+              x.ic_gpstime.compress(enc[L_GPS],
+                                    multi * x.last_gpstime_diff[x.last_seq],
+                                    curr_diff, 2);
+            else
+              x.ic_gpstime.compress(enc[L_GPS],
+                                    multi * x.last_gpstime_diff[x.last_seq],
+                                    curr_diff, 3);
+          } else {
+            enc[L_GPS].encodeSymbol(x.m_gpstime_multi, U32(GPS_MULTI));
+            x.ic_gpstime.compress(
+                enc[L_GPS], GPS_MULTI * x.last_gpstime_diff[x.last_seq],
+                curr_diff, 4);
+            x.multi_extreme_counter[x.last_seq]++;
+            if (x.multi_extreme_counter[x.last_seq] > 3) {
+              x.last_gpstime_diff[x.last_seq] = curr_diff;
+              x.multi_extreme_counter[x.last_seq] = 0;
+            }
+          }
+        } else if (multi < 0) {
+          if (multi > GPS_MULTI_MINUS) {
+            enc[L_GPS].encodeSymbol(x.m_gpstime_multi, U32(GPS_MULTI - multi));
+            x.ic_gpstime.compress(enc[L_GPS],
+                                  multi * x.last_gpstime_diff[x.last_seq],
+                                  curr_diff, 5);
+          } else {
+            enc[L_GPS].encodeSymbol(x.m_gpstime_multi,
+                                    U32(GPS_MULTI - GPS_MULTI_MINUS));
+            x.ic_gpstime.compress(
+                enc[L_GPS],
+                GPS_MULTI_MINUS * x.last_gpstime_diff[x.last_seq], curr_diff,
+                6);
+            x.multi_extreme_counter[x.last_seq]++;
+            if (x.multi_extreme_counter[x.last_seq] > 3) {
+              x.last_gpstime_diff[x.last_seq] = curr_diff;
+              x.multi_extreme_counter[x.last_seq] = 0;
+            }
+          }
+        } else {
+          enc[L_GPS].encodeSymbol(x.m_gpstime_multi, 0);
+          x.ic_gpstime.compress(enc[L_GPS], 0, curr_diff, 7);
+          x.multi_extreme_counter[x.last_seq]++;
+          if (x.multi_extreme_counter[x.last_seq] > 3) {
+            x.last_gpstime_diff[x.last_seq] = curr_diff;
+            x.multi_extreme_counter[x.last_seq] = 0;
+          }
+        }
+        x.last_gpstime[x.last_seq].i64 = t.i64;
+      } else {
+        for (U32 i = 1; i < 4; i++) {
+          I64 other = t.i64 - x.last_gpstime[(x.last_seq + i) & 3].i64;
+          if (other == I64(I32(other))) {
+            enc[L_GPS].encodeSymbol(x.m_gpstime_multi,
+                                    GPS_MULTI_CODE_FULL + i);
+            x.last_seq = (x.last_seq + i) & 3;
+            writeGpsTime(x, t);
+            return;
+          }
+        }
+        enc[L_GPS].encodeSymbol(x.m_gpstime_multi, GPS_MULTI_CODE_FULL);
+        x.ic_gpstime.compress(enc[L_GPS],
+                              I32(x.last_gpstime[x.last_seq].u64 >> 32),
+                              I32(t.u64 >> 32), 8);
+        enc[L_GPS].writeInt(U32(t.u64));
+        x.next_seq = (x.next_seq + 1) & 3;
+        x.last_seq = x.next_seq;
+        x.last_gpstime_diff[x.last_seq] = 0;
+        x.multi_extreme_counter[x.last_seq] = 0;
+        x.last_gpstime[x.last_seq].i64 = t.i64;
+      }
+    }
+  }
+
+  void init(const U8* first_wire, bool compress, U32& context) {
+    for_compress = compress;
+    init_level_8ctx();
+    for (int c = 0; c < 4; c++) ctx[c].unused = true;
+    LasPoint14 seed;
+    unpack14(first_wire, seed);
+    cc = seed.scanner_channel;
+    context = cc;
+    initContext(cc, seed);
+    if (compress)
+      for (int l = 0; l < P14_NLAYERS; l++) {
+        enc[l].init();
+        changed[l] = false;
+      }
+  }
+
+  void read(U8* wire_out, U32& context) {
+    LasPoint14* last = &ctx[cc].last;
+
+    // -------- channel_returns_XY layer ---------------------------------
+    U32 lpr = (last->return_number == 1 ? 1u : 0u) |
+              (last->return_number >= last->number_of_returns ? 2u : 0u) |
+              (last->gps_time_change ? 4u : 0u);
+    U32 cv = dec[L_XY].decodeSymbol(ctx[cc].m_changed_values[lpr]);
+
+    if (cv & (1 << 6)) {  // scanner channel changed
+      U32 diff = dec[L_XY].decodeSymbol(ctx[cc].m_scanner_channel);
+      U32 sc = (cc + diff + 1) & 3;
+      if (ctx[sc].unused) initContext(sc, ctx[cc].last);
+      cc = sc;
+      last = &ctx[cc].last;
+      last->scanner_channel = U8(sc);
+    }
+    context = cc;
+    Point14Ctx& x = ctx[cc];
+
+    bool point_source_change = (cv & (1 << 5)) != 0;
+    bool gps_time_change = (cv & (1 << 4)) != 0;
+    bool scan_angle_change = (cv & (1 << 3)) != 0;
+
+    U32 last_n = last->number_of_returns;
+    U32 last_r = last->return_number;
+
+    U32 n;
+    if (cv & (1 << 2)) {
+      n = dec[L_XY].decodeSymbol(*lazy(x.m_number_of_returns[last_n], 16));
+      last->number_of_returns = U8(n);
+    } else {
+      n = last_n;
+    }
+
+    U32 r;
+    switch (cv & 3) {
+      case 0: r = last_r; break;
+      case 1: r = (last_r + 1) & 15; last->return_number = U8(r); break;
+      case 2: r = (last_r + 15) & 15; last->return_number = U8(r); break;
+      default:
+        if (gps_time_change) {
+          r = dec[L_XY].decodeSymbol(*lazy(x.m_return_number[last_r], 16));
+        } else {
+          U32 sym = dec[L_XY].decodeSymbol(x.m_return_number_gps_same);
+          r = (last_r + sym + 2) & 15;
+        }
+        last->return_number = U8(r);
+        break;
+    }
+
+    U32 m = number_return_map_6ctx[n][r];
+    U32 l = number_return_level_8ctx[n][r];
+    U32 cpr = (r == 1 ? 2u : 0u) + (r >= n ? 1u : 0u);
+
+    U32 gidx = (m << 1) | U32(gps_time_change);
+    I32 median = x.last_X_diff_median5[gidx].get();
+    I32 diff = x.ic_dX.decompress(dec[L_XY], median, n == 1);
+    last->X += diff;
+    x.last_X_diff_median5[gidx].add(diff);
+
+    median = x.last_Y_diff_median5[gidx].get();
+    U32 k_bits = x.ic_dX.k;
+    diff = x.ic_dY.decompress(dec[L_XY], median,
+                              (n == 1) + (k_bits < 20 ? (k_bits & ~1u) : 20));
+    last->Y += diff;
+    x.last_Y_diff_median5[gidx].add(diff);
+
+    // -------- Z layer ----------------------------------------------------
+    if (changed[L_Z]) {
+      k_bits = (x.ic_dX.k + x.ic_dY.k) / 2;
+      last->Z = x.ic_Z.decompress(
+          dec[L_Z], x.last_Z[l],
+          (n == 1) + (k_bits < 18 ? (k_bits & ~1u) : 18));
+      x.last_Z[l] = last->Z;
+    }
+
+    // -------- classification layer --------------------------------------
+    if (changed[L_CLS]) {
+      U32 ccc = ((last->classification & 0x1F) << 1) + (cpr == 3 ? 1 : 0);
+      last->classification =
+          U8(dec[L_CLS].decodeSymbol(*lazy(x.m_classification[ccc], 256)));
+    }
+
+    // -------- flags layer -------------------------------------------------
+    if (changed[L_FLG]) {
+      U32 last_flags = (U32(last->edge_of_flight_line) << 5) |
+                       (U32(last->scan_direction_flag) << 4) |
+                       last->classification_flags;
+      U32 flags = dec[L_FLG].decodeSymbol(*lazy(x.m_flags[last_flags], 64));
+      last->edge_of_flight_line = U8((flags >> 5) & 1);
+      last->scan_direction_flag = U8((flags >> 4) & 1);
+      last->classification_flags = U8(flags & 0x0F);
+    }
+
+    // -------- intensity layer ---------------------------------------------
+    if (changed[L_INT]) {
+      U32 iidx = (cpr << 1) | U32(gps_time_change);
+      U16 intensity = U16(x.ic_intensity.decompress(
+          dec[L_INT], x.last_intensity[iidx], cpr));
+      x.last_intensity[iidx] = intensity;
+      last->intensity = intensity;
+    }
+
+    // -------- scan angle layer --------------------------------------------
+    if (changed[L_SCA] && scan_angle_change) {
+      last->scan_angle = I16(x.ic_scan_angle.decompress(
+          dec[L_SCA], last->scan_angle, gps_time_change));
+    }
+
+    // -------- user data layer ---------------------------------------------
+    if (changed[L_UD]) {
+      last->user_data =
+          U8(dec[L_UD].decodeSymbol(*lazy(x.m_user_data[last->user_data / 4],
+                                          256)));
+    }
+
+    // -------- point source layer ------------------------------------------
+    if (changed[L_PS] && point_source_change) {
+      last->point_source_ID = U16(x.ic_point_source_ID.decompress(
+          dec[L_PS], last->point_source_ID, 0));
+    }
+
+    // -------- gps time layer ----------------------------------------------
+    if (changed[L_GPS] && gps_time_change) {
+      readGpsTime(x);
+      last->gps_time = x.last_gpstime[x.last_seq];
+    }
+
+    last->gps_time_change = gps_time_change;
+    pack14(*last, wire_out);
+  }
+
+  void write(const U8* wire_in, U32& context) {
+    LasPoint14 item;
+    unpack14(wire_in, item);
+    LasPoint14* last = &ctx[cc].last;
+
+    // lpr from the current (pre-switch) context's last point
+    U32 lpr = (last->return_number == 1 ? 1u : 0u) |
+              (last->return_number >= last->number_of_returns ? 2u : 0u) |
+              (last->gps_time_change ? 4u : 0u);
+
+    // change bits compare against the TARGET scanner channel's last point
+    // (seeded from the current one if that channel is still unused)
+    U32 sc = item.scanner_channel & 3;
+    bool channel_change = (sc != cc);
+    LasPoint14* cmp = last;
+    if (channel_change && !ctx[sc].unused) cmp = &ctx[sc].last;
+
+    bool point_source_change = item.point_source_ID != cmp->point_source_ID;
+    bool gps_time_change = item.gps_time.f64 != cmp->gps_time.f64;
+    bool scan_angle_change = item.scan_angle != cmp->scan_angle;
+    U32 n = item.number_of_returns, r = item.return_number;
+    U32 last_n = cmp->number_of_returns, last_r = cmp->return_number;
+
+    U32 cv = (U32(channel_change) << 6) | (U32(point_source_change) << 5) |
+             (U32(gps_time_change) << 4) | (U32(scan_angle_change) << 3) |
+             (U32(n != last_n) << 2);
+    if (r != last_r) {
+      if (r == ((last_r + 1) & 15)) cv |= 1;
+      else if (r == ((last_r + 15) & 15)) cv |= 2;
+      else cv |= 3;
+    }
+    enc[L_XY].encodeSymbol(ctx[cc].m_changed_values[lpr], cv);
+
+    if (channel_change) {
+      U32 diff = (sc - cc - 1) & 3;
+      enc[L_XY].encodeSymbol(ctx[cc].m_scanner_channel, diff);
+      if (ctx[sc].unused) initContext(sc, ctx[cc].last);
+      cc = sc;
+      last = &ctx[cc].last;
+      last->scanner_channel = U8(sc);
+    }
+    context = cc;
+    Point14Ctx& x = ctx[cc];
+
+    if (cv & (1 << 2))
+      enc[L_XY].encodeSymbol(*lazy(x.m_number_of_returns[last_n], 16), n);
+    if ((cv & 3) == 3) {
+      if (gps_time_change)
+        enc[L_XY].encodeSymbol(*lazy(x.m_return_number[last_r], 16), r);
+      else
+        enc[L_XY].encodeSymbol(x.m_return_number_gps_same,
+                               (r + 16 - last_r - 2) & 15);
+    }
+
+    U32 m = number_return_map_6ctx[n][r];
+    U32 l = number_return_level_8ctx[n][r];
+    U32 cpr = (r == 1 ? 2u : 0u) + (r >= n ? 1u : 0u);
+
+    U32 gidx = (m << 1) | U32(gps_time_change);
+    I32 median = x.last_X_diff_median5[gidx].get();
+    I32 diff = I32(U32(item.X) - U32(last->X));
+    x.ic_dX.compress(enc[L_XY], median, diff, n == 1);
+    x.last_X_diff_median5[gidx].add(diff);
+
+    median = x.last_Y_diff_median5[gidx].get();
+    U32 k_bits = x.ic_dX.k;
+    diff = I32(U32(item.Y) - U32(last->Y));
+    x.ic_dY.compress(enc[L_XY], median, diff,
+                     (n == 1) + (k_bits < 20 ? (k_bits & ~1u) : 20));
+    x.last_Y_diff_median5[gidx].add(diff);
+
+    // Z layer (always coded; dropped whole if no point ever changed)
+    k_bits = (x.ic_dX.k + x.ic_dY.k) / 2;
+    if (item.Z != last->Z) changed[L_Z] = true;
+    x.ic_Z.compress(enc[L_Z], x.last_Z[l], item.Z,
+                    (n == 1) + (k_bits < 18 ? (k_bits & ~1u) : 18));
+    x.last_Z[l] = item.Z;
+
+    // classification layer
+    if (item.classification != last->classification) changed[L_CLS] = true;
+    {
+      U32 ccc = ((last->classification & 0x1F) << 1) + (cpr == 3 ? 1 : 0);
+      enc[L_CLS].encodeSymbol(*lazy(x.m_classification[ccc], 256),
+                              item.classification);
+    }
+
+    // flags layer
+    {
+      U32 last_flags = (U32(last->edge_of_flight_line) << 5) |
+                       (U32(last->scan_direction_flag) << 4) |
+                       last->classification_flags;
+      U32 flags = (U32(item.edge_of_flight_line) << 5) |
+                  (U32(item.scan_direction_flag) << 4) |
+                  item.classification_flags;
+      if (flags != last_flags) changed[L_FLG] = true;
+      enc[L_FLG].encodeSymbol(*lazy(x.m_flags[last_flags], 64), flags);
+    }
+
+    // intensity layer
+    if (item.intensity != last->intensity) changed[L_INT] = true;
+    {
+      U32 iidx = (cpr << 1) | U32(gps_time_change);
+      x.ic_intensity.compress(enc[L_INT], x.last_intensity[iidx],
+                              item.intensity, cpr);
+      x.last_intensity[iidx] = item.intensity;
+    }
+
+    // scan angle layer (coded only when changed)
+    if (scan_angle_change) {
+      changed[L_SCA] = true;
+      x.ic_scan_angle.compress(enc[L_SCA], last->scan_angle,
+                               I32(U16(item.scan_angle)), gps_time_change);
+    }
+
+    // user data layer
+    if (item.user_data != last->user_data) changed[L_UD] = true;
+    enc[L_UD].encodeSymbol(*lazy(x.m_user_data[last->user_data / 4], 256),
+                           item.user_data);
+
+    // point source layer (coded only when changed)
+    if (point_source_change) {
+      changed[L_PS] = true;
+      x.ic_point_source_ID.compress(enc[L_PS], last->point_source_ID,
+                                    item.point_source_ID, 0);
+    }
+
+    // gps time layer (coded only when changed)
+    if (gps_time_change) {
+      changed[L_GPS] = true;
+      writeGpsTime(x, item.gps_time);
+    }
+
+    *last = item;
+    last->gps_time_change = gps_time_change;
+  }
+};
+
+// ---------------------------------------------------------- RGB14 v3 -------
+
+struct Rgb14Ctx {
+  bool unused;
+  U16 last[3];
+  U16 last_nir;
+  ArithmeticModel m_byte_used, m_rgb_diff[6];
+  ArithmeticModel m_nir_bytes_used, m_nir_diff[2];
+};
+
+struct Rgb14v3 {
+  bool for_compress, with_nir;
+  Rgb14Ctx ctx[4];
+  U32 cc;
+  // Last-value pointers follow laszip's v3 reader/writer semantics:
+  // re-fetched from the CURRENT context at the start of every call, and
+  // reassigned during a context switch only when the target context was
+  // unused — so a switch to a USED context predicts from (and updates!)
+  // the previous context's last values for that one point.  Required for
+  // bit-compatibility; verified on the format-7/8 fixtures where scanner
+  // channels cycle 0..3.
+  U16* last;      // -> some ctx[..].last
+  U16* last_nir;  // -> some ctx[..].last_nir
+  Decoder dec_rgb, dec_nir;
+  Encoder enc_rgb, enc_nir;
+  bool changed_rgb = false, changed_nir = false;
+
+  void initContext(U32 c, const U16* seed_rgb, U16 seed_nir) {
+    Rgb14Ctx& x = ctx[c];
+    x.m_byte_used.init(128, for_compress);
+    for (int i = 0; i < 6; i++) x.m_rgb_diff[i].init(256, for_compress);
+    if (with_nir) {
+      x.m_nir_bytes_used.init(4, for_compress);
+      x.m_nir_diff[0].init(256, for_compress);
+      x.m_nir_diff[1].init(256, for_compress);
+    }
+    std::memcpy(x.last, seed_rgb, 6);
+    x.last_nir = seed_nir;
+    x.unused = false;
+  }
+
+  void init(const U8* first_wire, bool nir, bool compress, U32 context) {
+    for_compress = compress;
+    with_nir = nir;
+    for (int c = 0; c < 4; c++) ctx[c].unused = true;
+    cc = context & 3;
+    U16 rgbv[3], nv = 0;
+    std::memcpy(rgbv, first_wire, 6);
+    if (nir) std::memcpy(&nv, first_wire + 6, 2);
+    initContext(cc, rgbv, nv);
+    last = ctx[cc].last;
+    last_nir = &ctx[cc].last_nir;
+    if (compress) {
+      enc_rgb.init();
+      enc_nir.init();
+      changed_rgb = changed_nir = false;
+    }
+  }
+
+  void switchContext(U32 context) {
+    context &= 3;
+    if (cc != context) {
+      cc = context;
+      if (ctx[cc].unused) {
+        U16 seed[3];
+        std::memcpy(seed, last, 6);
+        initContext(cc, seed, *last_nir);
+        last = ctx[cc].last;
+        last_nir = &ctx[cc].last_nir;
+      }
+      // used context: keep updating the previous context's last values
+    }
+  }
+
+  void read(U8* wire_out, U32 context) {
+    last = ctx[cc].last;
+    last_nir = &ctx[cc].last_nir;
+    switchContext(context);
+    Rgb14Ctx& x = ctx[cc];
+    if (changed_rgb) {
+      U16 r, g, b;
+      I32 diff;
+      U32 corr;
+      U32 sym = dec_rgb.decodeSymbol(x.m_byte_used);
+      if (sym & 1) {
+        corr = dec_rgb.decodeSymbol(x.m_rgb_diff[0]);
+        r = U16(u8_fold(I32(corr) + (last[0] & 0xFF)));
+      } else {
+        r = last[0] & 0xFF;
+      }
+      if (sym & 2) {
+        corr = dec_rgb.decodeSymbol(x.m_rgb_diff[1]);
+        r |= U16(u8_fold(I32(corr) + (last[0] >> 8))) << 8;
+      } else {
+        r |= last[0] & 0xFF00;
+      }
+      if (sym & 64) {
+        diff = (r & 0xFF) - (last[0] & 0xFF);
+        if (sym & 4) {
+          corr = dec_rgb.decodeSymbol(x.m_rgb_diff[2]);
+          g = U16(u8_fold(I32(corr) + u8_clamp(diff + (last[1] & 0xFF))));
+        } else {
+          g = last[1] & 0xFF;
+        }
+        if (sym & 16) {
+          corr = dec_rgb.decodeSymbol(x.m_rgb_diff[4]);
+          diff = (diff + ((g & 0xFF) - (last[1] & 0xFF))) / 2;
+          b = U16(u8_fold(I32(corr) + u8_clamp(diff + (last[2] & 0xFF))));
+        } else {
+          b = last[2] & 0xFF;
+        }
+        diff = (r >> 8) - (last[0] >> 8);
+        if (sym & 8) {
+          corr = dec_rgb.decodeSymbol(x.m_rgb_diff[3]);
+          g |= U16(u8_fold(I32(corr) + u8_clamp(diff + (last[1] >> 8))))
+               << 8;
+        } else {
+          g |= last[1] & 0xFF00;
+        }
+        if (sym & 32) {
+          corr = dec_rgb.decodeSymbol(x.m_rgb_diff[5]);
+          diff = (diff + ((g >> 8) - (last[1] >> 8))) / 2;
+          b |= U16(u8_fold(I32(corr) + u8_clamp(diff + (last[2] >> 8))))
+               << 8;
+        } else {
+          b |= last[2] & 0xFF00;
+        }
+      } else {
+        g = r;
+        b = r;
+      }
+      last[0] = r;
+      last[1] = g;
+      last[2] = b;
+    }
+    std::memcpy(wire_out, last, 6);
+    if (with_nir) {
+      if (changed_nir) {
+        U32 sym = dec_nir.decodeSymbol(x.m_nir_bytes_used);
+        U16 nir;
+        if (sym & 1) {
+          U32 corr = dec_nir.decodeSymbol(x.m_nir_diff[0]);
+          nir = U16(u8_fold(I32(corr) + ((*last_nir) & 0xFF)));
+        } else {
+          nir = (*last_nir) & 0xFF;
+        }
+        if (sym & 2) {
+          U32 corr = dec_nir.decodeSymbol(x.m_nir_diff[1]);
+          nir |= U16(u8_fold(I32(corr) + ((*last_nir) >> 8))) << 8;
+        } else {
+          nir |= (*last_nir) & 0xFF00;
+        }
+        (*last_nir) = nir;
+      }
+      std::memcpy(wire_out + 6, last_nir, 2);
+    }
+  }
+
+  void write(const U8* wire_in, U32 context) {
+    last = ctx[cc].last;
+    last_nir = &ctx[cc].last_nir;
+    switchContext(context);
+    Rgb14Ctx& x = ctx[cc];
+    U16 r, g, b;
+    std::memcpy(&r, wire_in + 0, 2);
+    std::memcpy(&g, wire_in + 2, 2);
+    std::memcpy(&b, wire_in + 4, 2);
+
+    U32 sym = 0;
+    if ((r & 0xFF) != (last[0] & 0xFF)) sym |= 1;
+    if ((r >> 8) != (last[0] >> 8)) sym |= 2;
+    bool gb_differ = ((r & 0xFF) != (g & 0xFF)) || ((r & 0xFF) != (b & 0xFF)) ||
+                     ((r >> 8) != (g >> 8)) || ((r >> 8) != (b >> 8));
+    if (gb_differ) {
+      sym |= 64;
+      if ((g & 0xFF) != (last[1] & 0xFF)) sym |= 4;
+      if ((g >> 8) != (last[1] >> 8)) sym |= 8;
+      if ((b & 0xFF) != (last[2] & 0xFF)) sym |= 16;
+      if ((b >> 8) != (last[2] >> 8)) sym |= 32;
+    }
+    if (r != last[0] || g != last[1] || b != last[2])
+      changed_rgb = true;
+    enc_rgb.encodeSymbol(x.m_byte_used, sym);
+    I32 diff;
+    if (sym & 1)
+      enc_rgb.encodeSymbol(x.m_rgb_diff[0],
+                           u8_fold(I32(r & 0xFF) - I32(last[0] & 0xFF)));
+    if (sym & 2)
+      enc_rgb.encodeSymbol(x.m_rgb_diff[1],
+                           u8_fold(I32(r >> 8) - I32(last[0] >> 8)));
+    if (sym & 64) {
+      diff = (r & 0xFF) - (last[0] & 0xFF);
+      if (sym & 4)
+        enc_rgb.encodeSymbol(
+            x.m_rgb_diff[2],
+            u8_fold(I32(g & 0xFF) - u8_clamp(diff + (last[1] & 0xFF))));
+      if (sym & 16) {
+        diff = (diff + ((g & 0xFF) - (last[1] & 0xFF))) / 2;
+        enc_rgb.encodeSymbol(
+            x.m_rgb_diff[4],
+            u8_fold(I32(b & 0xFF) - u8_clamp(diff + (last[2] & 0xFF))));
+      }
+      diff = (r >> 8) - (last[0] >> 8);
+      if (sym & 8)
+        enc_rgb.encodeSymbol(
+            x.m_rgb_diff[3],
+            u8_fold(I32(g >> 8) - u8_clamp(diff + (last[1] >> 8))));
+      if (sym & 32) {
+        diff = (diff + ((g >> 8) - (last[1] >> 8))) / 2;
+        enc_rgb.encodeSymbol(
+            x.m_rgb_diff[5],
+            u8_fold(I32(b >> 8) - u8_clamp(diff + (last[2] >> 8))));
+      }
+    }
+    last[0] = r;
+    last[1] = g;
+    last[2] = b;
+
+    if (with_nir) {
+      U16 nir;
+      std::memcpy(&nir, wire_in + 6, 2);
+      U32 nsym = 0;
+      if ((nir & 0xFF) != ((*last_nir) & 0xFF)) nsym |= 1;
+      if ((nir >> 8) != ((*last_nir) >> 8)) nsym |= 2;
+      if (nir != (*last_nir)) changed_nir = true;
+      enc_nir.encodeSymbol(x.m_nir_bytes_used, nsym);
+      if (nsym & 1)
+        enc_nir.encodeSymbol(
+            x.m_nir_diff[0],
+            u8_fold(I32(nir & 0xFF) - I32((*last_nir) & 0xFF)));
+      if (nsym & 2)
+        enc_nir.encodeSymbol(x.m_nir_diff[1],
+                             u8_fold(I32(nir >> 8) - I32((*last_nir) >> 8)));
+      (*last_nir) = nir;
+    }
+  }
+};
+
+// ---------------------------------------------------------- BYTE14 v3 ------
+
+struct Byte14Ctx {
+  bool unused;
+  std::vector<U8> last;
+  std::vector<ArithmeticModel> m_bytes;  // one 256-sym model per byte
+};
+
+struct Byte14v3 {
+  bool for_compress;
+  U32 number = 0;
+  Byte14Ctx ctx[4];
+  U32 cc;
+  U8* last = nullptr;  // roaming pointer, same semantics as Rgb14v3::last
+  std::vector<Decoder> dec;    // one per byte layer
+  std::vector<Encoder> enc;
+  std::vector<U8> changed;     // per byte layer
+
+  void initContext(U32 c, const U8* seed) {
+    Byte14Ctx& x = ctx[c];
+    x.m_bytes.resize(number);
+    for (U32 i = 0; i < number; i++) x.m_bytes[i].init(256, for_compress);
+    x.last.assign(seed, seed + number);
+    x.unused = false;
+  }
+
+  void init(const U8* first_wire, U32 n, bool compress, U32 context) {
+    for_compress = compress;
+    number = n;
+    for (int c = 0; c < 4; c++) ctx[c].unused = true;
+    cc = context & 3;
+    initContext(cc, first_wire);
+    last = ctx[cc].last.data();
+    dec.assign(number, Decoder());
+    enc.assign(number, Encoder());
+    changed.assign(number, 0);
+    if (compress)
+      for (U32 i = 0; i < number; i++) enc[i].init();
+  }
+
+  void switchContext(U32 context) {
+    context &= 3;
+    if (cc != context) {
+      cc = context;
+      if (ctx[cc].unused) {
+        std::vector<U8> seed(last, last + number);
+        initContext(cc, seed.data());
+        last = ctx[cc].last.data();
+      }
+      // used context: keep updating the previous context's last values
+    }
+  }
+
+  void read(U8* wire_out, U32 context) {
+    last = ctx[cc].last.data();
+    switchContext(context);
+    Byte14Ctx& x = ctx[cc];
+    for (U32 i = 0; i < number; i++) {
+      if (changed[i]) {
+        U32 sym = dec[i].decodeSymbol(x.m_bytes[i]);
+        last[i] = u8_fold(I32(sym) + I32(last[i]));
+      }
+      wire_out[i] = last[i];
+    }
+  }
+
+  void write(const U8* wire_in, U32 context) {
+    last = ctx[cc].last.data();
+    switchContext(context);
+    Byte14Ctx& x = ctx[cc];
+    for (U32 i = 0; i < number; i++) {
+      if (wire_in[i] != last[i]) changed[i] = 1;
+      enc[i].encodeSymbol(x.m_bytes[i], u8_fold(I32(wire_in[i]) -
+                                                I32(last[i])));
+      last[i] = wire_in[i];
+    }
+  }
+};
+
 // ------------------------------------------------------------ item specs ----
 
 enum ItemType : U16 {
@@ -1334,6 +2333,199 @@ struct ChunkCodec {
   }
 };
 
+// ------------------------------------------------- layered chunk codec ----
+
+static bool items_layered(const std::vector<ItemSpec>& items) {
+  for (const auto& it : items)
+    if (it.type >= ITEM_POINT14) return true;
+  return false;
+}
+
+static bool layered_supported(const std::vector<ItemSpec>& items) {
+  if (items.empty() || items[0].type != ITEM_POINT14 || items[0].size != 30 ||
+      items[0].version != 3)
+    return false;
+  for (size_t i = 1; i < items.size(); i++) {
+    const auto& it = items[i];
+    switch (it.type) {
+      case ITEM_RGB14:
+        if (it.size != 6 || it.version != 3) return false;
+        break;
+      case ITEM_RGBNIR14:
+        if (it.size != 8 || it.version != 3) return false;
+        break;
+      case ITEM_BYTE14:
+        if (it.size == 0 || it.version != 3) return false;
+        break;
+      default:
+        // WAVEPACKET14 (formats 9/10) intentionally unsupported — the
+        // reference rejects LAZ 9/10 too (raw_readers.rs:451-455)
+        return false;
+    }
+  }
+  return true;
+}
+
+// layered chunk: [raw first point][u32 count][u32 layer sizes][layer bytes]
+static bool decompress_chunk_layered(const U8* in, size_t in_len, U8* out,
+                                     U64 npoints,
+                                     const std::vector<ItemSpec>& items,
+                                     U32 point_size) {
+  if (npoints == 0) return true;
+  if (in_len < point_size) return false;
+  std::memcpy(out, in, point_size);
+  if (npoints == 1) return true;
+
+  size_t pos = point_size;
+  auto read_u32 = [&](U32& v) -> bool {
+    if (pos + 4 > in_len) return false;
+    std::memcpy(&v, in + pos, 4);
+    pos += 4;
+    return true;
+  };
+  U32 count;
+  if (!read_u32(count) || count != npoints) return false;
+
+  Point14v3 p14;
+  Rgb14v3 rgb;
+  Byte14v3 extra;
+  bool has_rgb = false, has_nir = false;
+  U32 nbytes_extra = 0;
+
+  // layer sizes, in item order
+  U32 p14_sizes[P14_NLAYERS];
+  for (int l = 0; l < P14_NLAYERS; l++)
+    if (!read_u32(p14_sizes[l])) return false;
+  U32 rgb_size = 0, nir_size = 0;
+  std::vector<U32> extra_sizes;
+  for (size_t i = 1; i < items.size(); i++) {
+    const auto& it = items[i];
+    if (it.type == ITEM_RGB14) {
+      has_rgb = true;
+      if (!read_u32(rgb_size)) return false;
+    } else if (it.type == ITEM_RGBNIR14) {
+      has_rgb = has_nir = true;
+      if (!read_u32(rgb_size) || !read_u32(nir_size)) return false;
+    } else {  // BYTE14
+      nbytes_extra = it.size;
+      extra_sizes.resize(nbytes_extra);
+      for (U32 b = 0; b < nbytes_extra; b++)
+        if (!read_u32(extra_sizes[b])) return false;
+    }
+  }
+
+  // wire offsets of the items within a record
+  U32 rgb_off = 30;
+  U32 extra_off = 30 + (has_nir ? 8 : (has_rgb ? 6 : 0));
+
+  // init codecs from the raw first point, then hand each layer its bytes
+  U32 context = 0;
+  p14.init(out, false, context);
+  if (has_rgb) rgb.init(out + rgb_off, has_nir, false, context);
+  if (nbytes_extra) extra.init(out + extra_off, nbytes_extra, false, context);
+
+  auto attach = [&](Decoder& d, U32 size) -> bool {
+    if (pos + size > in_len) return false;
+    d.buf = in + pos;
+    d.pos = 0;
+    d.size = size;
+    d.overrun = false;
+    if (size) d.init();
+    pos += size;
+    return true;
+  };
+  for (int l = 0; l < P14_NLAYERS; l++) {
+    if (!attach(p14.dec[l], p14_sizes[l])) return false;
+    p14.changed[l] = p14_sizes[l] != 0;
+  }
+  if (has_rgb) {
+    if (!attach(rgb.dec_rgb, rgb_size)) return false;
+    rgb.changed_rgb = rgb_size != 0;
+    if (has_nir) {
+      if (!attach(rgb.dec_nir, nir_size)) return false;
+      rgb.changed_nir = nir_size != 0;
+    }
+  }
+  for (U32 b = 0; b < nbytes_extra; b++) {
+    if (!attach(extra.dec[b], extra_sizes[b])) return false;
+    extra.changed[b] = extra_sizes[b] != 0;
+  }
+
+  for (U64 i = 1; i < npoints; i++) {
+    U8* rec = out + i * point_size;
+    U32 ctx = 0;
+    p14.read(rec, ctx);
+    if (has_rgb) rgb.read(rec + rgb_off, ctx);
+    if (nbytes_extra) extra.read(rec + extra_off, ctx);
+    for (int l = 0; l < P14_NLAYERS; l++)
+      if (p14.dec[l].overrun && p14.dec[l].pos > p14.dec[l].size + 16)
+        return false;
+  }
+  return true;
+}
+
+static void compress_chunk_layered(const U8* in, U64 npoints,
+                                   const std::vector<ItemSpec>& items,
+                                   U32 point_size, std::vector<U8>& out) {
+  if (npoints == 0) {
+    out.clear();
+    return;
+  }
+  out.assign(in, in + point_size);
+
+  Point14v3 p14;
+  Rgb14v3 rgb;
+  Byte14v3 extra;
+  bool has_rgb = false, has_nir = false;
+  U32 nbytes_extra = 0;
+  for (size_t i = 1; i < items.size(); i++) {
+    if (items[i].type == ITEM_RGB14) has_rgb = true;
+    else if (items[i].type == ITEM_RGBNIR14) has_rgb = has_nir = true;
+    else nbytes_extra = items[i].size;
+  }
+  U32 rgb_off = 30;
+  U32 extra_off = 30 + (has_nir ? 8 : (has_rgb ? 6 : 0));
+
+  U32 context = 0;
+  p14.init(in, true, context);
+  if (has_rgb) rgb.init(in + rgb_off, has_nir, true, context);
+  if (nbytes_extra) extra.init(in + extra_off, nbytes_extra, true, context);
+
+  for (U64 i = 1; i < npoints; i++) {
+    const U8* rec = in + i * point_size;
+    U32 ctx = 0;
+    p14.write(rec, ctx);
+    if (has_rgb) rgb.write(rec + rgb_off, ctx);
+    if (nbytes_extra) extra.write(rec + extra_off, ctx);
+  }
+
+  // finalize layers; unchanged layers are dropped entirely (size 0) and
+  // the reader reproduces the constant value from the raw first point
+  auto finish = [](Encoder& e, bool keep) -> std::vector<U8> {
+    if (!keep) return {};
+    e.done();
+    return std::move(e.out);
+  };
+  std::vector<std::vector<U8>> blocks;
+  blocks.push_back(finish(p14.enc[L_XY], true));
+  for (int l = 1; l < P14_NLAYERS; l++)
+    blocks.push_back(finish(p14.enc[l], p14.changed[l]));
+  if (has_rgb) {
+    blocks.push_back(finish(rgb.enc_rgb, rgb.changed_rgb));
+    if (has_nir) blocks.push_back(finish(rgb.enc_nir, rgb.changed_nir));
+  }
+  for (U32 b = 0; b < nbytes_extra; b++)
+    blocks.push_back(finish(extra.enc[b], extra.changed[b] != 0));
+
+  U32 count = U32(npoints);
+  out.insert(out.end(), (U8*)&count, (U8*)&count + 4);
+  for (auto& blk : blocks) {
+    U32 sz = U32(blk.size());
+    out.insert(out.end(), (U8*)&sz, (U8*)&sz + 4);
+  }
+  for (auto& blk : blocks) out.insert(out.end(), blk.begin(), blk.end());
+}
+
 // decompress one chunk: [raw first point][arith stream] -> npoints records
 static bool decompress_chunk(const U8* in, size_t in_len, U8* out,
                              U64 npoints, const std::vector<ItemSpec>& items,
@@ -1400,11 +2592,15 @@ int laz_decompress(const uint8_t* file, uint64_t file_len,
                    uint64_t count, uint8_t* out, int nthreads) {
   if (point_data_offset + 8 > file_len) return -1;
   auto specs = unpack_items(items, nitems);
-  {
+  const bool layered = items_layered(specs);
+  if (layered) {
+    if (!layered_supported(specs)) return -2;
+  } else {
     ChunkCodec probe;
     probe.items = specs;
     if (!probe.supported()) return -2;
   }
+  const bool variable = (chunk_size == 0xFFFFFFFFu);
 
   // chunk table: i64 absolute offset at the start of the point data
   I64 table_off;
@@ -1414,13 +2610,18 @@ int laz_decompress(const uint8_t* file, uint64_t file_len,
   U32 version, number_chunks;
   std::memcpy(&version, file + table_off, 4);
   std::memcpy(&number_chunks, file + table_off + 4, 4);
-  U64 expected_chunks =
-      chunk_size ? (npoints + chunk_size - 1) / chunk_size : 1;
-  if (number_chunks != expected_chunks) return -4;
+  if (!variable) {
+    U64 expected_chunks =
+        chunk_size ? (npoints + chunk_size - 1) / chunk_size : 1;
+    if (number_chunks != expected_chunks) return -4;
+  }
 
-  // chunk sizes are themselves entropy-coded (IntegerCompressor 32-bit,
-  // 2 contexts, context 1, predicted by the previous size)
-  std::vector<U32> sizes(number_chunks, 0);
+  // chunk sizes (and, for variable-size chunks, point counts) are
+  // entropy-coded: IntegerCompressor 32-bit / 2 contexts, counts under
+  // context 0 and byte sizes under context 1, each predicted by the
+  // previous chunk's value
+  std::vector<U32> sizes(number_chunks, 0), counts;
+  if (variable) counts.assign(number_chunks, 0);
   if (number_chunks > 0) {
     Decoder dec;
     dec.buf = file;
@@ -1431,20 +2632,34 @@ int laz_decompress(const uint8_t* file, uint64_t file_len,
     ic.setup(32, 2);
     ic.initModels(false);
     for (U32 i = 0; i < number_chunks; i++) {
+      if (variable)
+        counts[i] = U32(ic.decompress(dec, i ? I32(counts[i - 1]) : 0, 0));
       sizes[i] = U32(ic.decompress(dec, i ? I32(sizes[i - 1]) : 0, 1));
       if (dec.overrun && dec.pos > dec.size + 16) return -5;
     }
   }
-  std::vector<U64> starts(number_chunks + 1);
+  std::vector<U64> starts(number_chunks + 1), begins(number_chunks + 1);
   starts[0] = point_data_offset + 8;
-  for (U32 i = 0; i < number_chunks; i++) starts[i + 1] = starts[i] + sizes[i];
+  begins[0] = 0;
+  for (U32 i = 0; i < number_chunks; i++) {
+    starts[i + 1] = starts[i] + sizes[i];
+    U64 c_points = variable
+                       ? counts[i]
+                       : std::min<U64>(chunk_size, npoints - begins[i]);
+    begins[i + 1] = begins[i] + c_points;
+  }
   if (starts[number_chunks] > U64(table_off)) return -6;
+  if (begins[number_chunks] < npoints) return -4;
 
   // which chunks cover [start, start+count)?
-  U64 first_chunk = chunk_size ? start / chunk_size : 0;
-  U64 last_chunk = chunk_size ? (start + count - 1) / chunk_size : 0;
   if (count == 0) return 0;
-  if (last_chunk >= number_chunks) return -7;
+  U64 first_chunk = 0, last_chunk = 0;
+  for (U32 c = 0; c < number_chunks; c++) {
+    if (begins[c] <= start && start < begins[c + 1]) first_chunk = c;
+    if (begins[c] < start + count && start + count <= begins[c + 1])
+      last_chunk = c;
+  }
+  if (last_chunk >= number_chunks || last_chunk < first_chunk) return -7;
 
   struct Job {
     U64 chunk, chunk_points, skip, take, out_off;
@@ -1452,8 +2667,8 @@ int laz_decompress(const uint8_t* file, uint64_t file_len,
   std::vector<Job> jobs;
   U64 out_off = 0;
   for (U64 c = first_chunk; c <= last_chunk; c++) {
-    U64 c_begin = c * chunk_size;
-    U64 c_points = std::min<U64>(chunk_size, npoints - c_begin);
+    U64 c_begin = begins[c];
+    U64 c_points = begins[c + 1] - begins[c];
     U64 s = (start > c_begin) ? start - c_begin : 0;
     U64 e = std::min<U64>(c_points, start + count - c_begin);
     jobs.push_back({c, c_points, s, e - s, out_off});
@@ -1464,7 +2679,13 @@ int laz_decompress(const uint8_t* file, uint64_t file_len,
   auto work = [&](size_t j) {
     const Job& job = jobs[j];
     std::vector<U8> scratch(job.chunk_points * point_size);
-    bool ok = decompress_chunk(file + starts[job.chunk],
+    bool ok =
+        layered
+            ? decompress_chunk_layered(
+                  file + starts[job.chunk],
+                  starts[job.chunk + 1] - starts[job.chunk], scratch.data(),
+                  job.chunk_points, specs, point_size)
+            : decompress_chunk(file + starts[job.chunk],
                                starts[job.chunk + 1] - starts[job.chunk],
                                scratch.data(), job.chunk_points, specs,
                                point_size);
@@ -1505,7 +2726,10 @@ int laz_compress(const uint8_t* records, uint64_t npoints,
                  const uint16_t* items, uint32_t nitems, uint8_t** out_ptr,
                  uint64_t* out_len, int nthreads) {
   auto specs = unpack_items(items, nitems);
-  {
+  const bool layered = items_layered(specs);
+  if (layered) {
+    if (!layered_supported(specs)) return -2;
+  } else {
     ChunkCodec probe;
     probe.items = specs;
     if (!probe.supported()) return -2;
@@ -1517,8 +2741,12 @@ int laz_compress(const uint8_t* records, uint64_t npoints,
   auto work = [&](size_t c) {
     U64 begin = c * U64(chunk_size);
     U64 n = std::min<U64>(chunk_size, npoints - begin);
-    compress_chunk(records + begin * point_size, n, specs, point_size,
-                   chunks[c]);
+    if (layered)
+      compress_chunk_layered(records + begin * point_size, n, specs,
+                             point_size, chunks[c]);
+    else
+      compress_chunk(records + begin * point_size, n, specs, point_size,
+                     chunks[c]);
   };
   if (nthreads <= 1 || number_chunks <= 1) {
     for (size_t c = 0; c < number_chunks; c++) work(c);
@@ -1575,6 +2803,17 @@ int laz_compress(const uint8_t* records, uint64_t npoints,
 }
 
 void laz_free(uint8_t* p) { std::free(p); }
+
+// Override the POINT14 (number_of_returns, return_number) -> context
+// tables (two 16x16 row-major byte arrays; pass NULL to keep a default).
+// Escape hatch should a table entry not exercised by the verification
+// fixtures ever prove divergent from laszip on a real-world file.
+void laz_set_point14_tables(const uint8_t* map_6ctx,
+                            const uint8_t* level_8ctx) {
+  init_level_8ctx();
+  if (map_6ctx) std::memcpy(number_return_map_6ctx, map_6ctx, 256);
+  if (level_8ctx) std::memcpy(number_return_level_8ctx, level_8ctx, 256);
+}
 
 // Round-trip self-test of the coder primitives; returns 0 or a negative
 // code identifying the first failing stage.
