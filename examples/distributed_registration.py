@@ -39,7 +39,8 @@ def main():
     mn, mx = sharded_bounds(batch, mesh)
     print("global bounds:", np.asarray(mn), np.asarray(mx))
 
-    part, counts = morton_partition(batch, mesh)
+    part, counts, dropped = morton_partition(batch, mesh)
+    assert int(np.asarray(dropped).sum()) == 0, "raise capacity_factor"
     print("points per device after Morton partition:", np.asarray(counts))
 
     vox, vcounts = sharded_voxel_downsample(part, mesh, 1.0,

@@ -162,16 +162,30 @@ class PointBatch:
         return PointBatch(data, self.count, self.schema, self.meta)
 
     @classmethod
-    def concatenate(cls, batches: Sequence["PointBatch"]) -> "PointBatch":
-        """Static concat along the point axis.  Only correct when every batch
-        is full (count == capacity) or callers recompact afterwards."""
+    def concatenate(cls, batches: Sequence["PointBatch"],
+                    compact: bool = True) -> "PointBatch":
+        """Concat along the point axis (static output capacity).
+
+        By default the result is *compacted*: valid rows of every input are
+        moved to the front (stable, original order preserved) so the result
+        satisfies the ``rows [0, count)`` invariant even when inputs carry
+        padding.  Pass ``compact=False`` to skip the gather when every input
+        is known full (count == capacity) — cheaper, but the caller asserts
+        that invariant.
+        """
         first = batches[0]
         data = {
             k: jnp.concatenate([b.data[k] for b in batches], axis=0)
             for k in first.data
         }
         count = sum((b.count for b in batches), jnp.asarray(0, jnp.int32))
-        return cls(data, count, first.schema, first.meta)
+        out = cls(data, count, first.schema, first.meta)
+        if compact:
+            valid = jnp.concatenate([b.valid_mask() for b in batches])
+            # stable sort: valid rows first, original order preserved
+            order = jnp.argsort(~valid, stable=True)
+            out = out.gather(order)
+        return out
 
     # ---- host transfer --------------------------------------------------------
     def to_host(self, trim: bool = True) -> HostPointBuffer:

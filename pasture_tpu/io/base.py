@@ -168,8 +168,13 @@ def read_all(path: Union[str, Path],
 def read_all_into(buffer: HostPointBuffer,
                   path: Union[str, Path]) -> HostPointBuffer:
     """Open + read every point into ``buffer``'s schema and append
-    (reference ``read_all_into``, base/mod.rs:48-60).  Returns the
-    extended buffer (host buffers are value-style, so append returns new)."""
+    (reference ``read_all_into``, base/mod.rs:48-60).
+
+    .. warning:: Unlike the reference, which mutates the destination in
+       place, host buffers here are value-style: the input ``buffer`` is
+       NOT modified.  You MUST use the returned buffer —
+       ``buf = read_all_into(buf, path)`` — or the appended points are
+       silently lost."""
     with open_reader(path) as r:
         return buffer.append(r.read_all(buffer.schema))
 

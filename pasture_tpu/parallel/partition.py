@@ -49,11 +49,15 @@ def _morton_hi_bucket(pos, mask, gmin, extent, axis):
 def morton_partition(batch: PointBatch, mesh: Mesh,
                      axis: str = POINTS_AXIS,
                      capacity_factor: float = 2.0
-                     ) -> Tuple[PointBatch, jnp.ndarray]:
+                     ) -> Tuple[PointBatch, jnp.ndarray, jnp.ndarray]:
     """Repartition so each device owns a contiguous Morton range.
 
-    Returns ``(partitioned batch, per_shard_counts)``; the batch stays
-    sharded over ``axis``, each shard's valid prefix = its Morton block.
+    Returns ``(partitioned batch, per_shard_counts, per_shard_dropped)``;
+    the batch stays sharded over ``axis``, each shard's valid prefix = its
+    Morton block.  ``per_shard_dropped[d]`` counts points shard ``d`` could
+    not send because a destination's ``slot = capacity_factor * per / n``
+    budget overflowed — callers must check ``dropped.sum() == 0`` (or raise
+    ``capacity_factor``); the pipeline wrappers assert this for you.
     """
     n_shards = mesh.shape[axis]
     per = batch.capacity // n_shards
@@ -107,6 +111,7 @@ def morton_partition(batch: PointBatch, mesh: Mesh,
         col = jnp.where(valid_send, pos_in_group, slot)
         sent_counts = jnp.zeros((n_shards,), jnp.int32).at[row].add(
             valid_send.astype(jnp.int32), mode="drop")
+        dropped = local_count - jnp.sum(valid_send.astype(jnp.int32))
 
         for name, v in data.items():
             shape = (n_shards, slot) + v.shape[1:]
@@ -136,14 +141,14 @@ def morton_partition(batch: PointBatch, mesh: Mesh,
             rowt = jnp.where(keep, dest_pos, cap_out)
             out = out.at[rowt].set(flat, mode="drop")
             new_cols[name] = out
-        return new_cols, new_count[None]
+        return new_cols, new_count[None], dropped[None]
 
     out_specs_data = {k: P(axis, *[None] * (v.ndim - 1))
                       for k, v in batch.data.items()}
-    new_data, counts = shard_map(
+    new_data, counts, dropped = shard_map(
         shard_fn, mesh=mesh,
         in_specs=(data_specs, P()),
-        out_specs=(out_specs_data, P(axis)),
+        out_specs=(out_specs_data, P(axis), P(axis)),
         check_vma=False)(batch.data, batch.count)
     total = jnp.sum(counts).astype(jnp.int32)
-    return PointBatch(new_data, total, batch.schema, batch.meta), counts
+    return PointBatch(new_data, total, batch.schema, batch.meta), counts, dropped

@@ -138,3 +138,30 @@ def test_attribute_pusher(rng):
                              rng.integers(0, 100, 3).astype(np.uint16))
     with pytest.raises(ValueError, match="same count"):
         bad.done()
+
+
+def test_concatenate_compacts_padded_batches(rng):
+    a_host = random_buffer(rng, n=3)
+    b_host = random_buffer(rng, n=5)
+    a = PointBatch.from_host(a_host, capacity=8)
+    b = PointBatch.from_host(b_host, capacity=8)
+
+    cat = PointBatch.concatenate([a, b])
+    assert int(cat.count) == 8
+    got = cat.to_host().get("Intensity")
+    want = np.concatenate([a_host.get("Intensity"), b_host.get("Intensity")])
+    np.testing.assert_array_equal(got, want)
+    # order within each input preserved, capacity stays static
+    assert cat.capacity == 16
+
+    # compact=False keeps the raw layout (caller asserts inputs are full)
+    raw = PointBatch.concatenate([a, b], compact=False)
+    ri = np.asarray(raw.data["Intensity"])
+    np.testing.assert_array_equal(ri[:3], a_host.get("Intensity"))
+    np.testing.assert_array_equal(ri[8:13], b_host.get("Intensity"))
+
+    # also works under jit (static shapes)
+    import jax
+    cat2 = jax.jit(lambda x, y: PointBatch.concatenate([x, y]))(a, b)
+    np.testing.assert_array_equal(
+        np.asarray(cat2.data["Intensity"][:8]), want)

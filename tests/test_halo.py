@@ -25,8 +25,9 @@ def test_halo_exchange_ships_boundary_rows(rng):
     batch = PointBatch.from_host(host, policy=DevicePolicy.EXACT,
                                  capacity=1024)
     sharded = shard_batch(batch, mesh)
-    part, counts = morton_partition(sharded, mesh, capacity_factor=4.0)
+    part, counts, dropped = morton_partition(sharded, mesh, capacity_factor=4.0)
     counts = np.asarray(counts)
+    assert np.asarray(dropped).sum() == 0
 
     halo = 16
     halo_cols, halo_counts = halo_exchange(part, jnp.asarray(counts), mesh,

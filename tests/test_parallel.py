@@ -69,9 +69,10 @@ def test_sharded_voxel_downsample(mesh, rng):
 def test_morton_partition_preserves_and_orders(mesh, rng):
     host, batch = _batch(rng, n=1000, cap=1024)
     sharded = shard_batch(batch, mesh)
-    out, counts = morton_partition(sharded, mesh, capacity_factor=4.0)
+    out, counts, dropped = morton_partition(sharded, mesh, capacity_factor=4.0)
     counts = np.asarray(counts)
     assert counts.sum() == 1000  # nothing dropped at this capacity
+    assert np.asarray(dropped).sum() == 0
     # every shard owns a contiguous Morton range: max key of shard i <= min
     # key of shard i+1
     out_host = out.to_host(trim=False)
