@@ -18,12 +18,17 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+from ..buffers.device import PointBatch
+from ..layout import attributes as att
 from ..registration.icp import IcpResult, nearest_neighbors, _solve_gn
 from ..registration.pose_graph import PoseGraph, build_normal_equations
 from ..registration.se3 import se3_exp, skew, transform_points
+from .halo import halo_exchange_local
 from .mesh import POINTS_AXIS
+from .partition import morton_partition
 
-__all__ = ["distributed_icp", "distributed_pose_graph"]
+__all__ = ["distributed_icp", "distributed_icp_partitioned",
+           "distributed_pose_graph"]
 
 
 def distributed_icp(source: jnp.ndarray, target: jnp.ndarray, mesh: Mesh,
@@ -89,6 +94,114 @@ def distributed_icp(source: jnp.ndarray, target: jnp.ndarray, mesh: Mesh,
         in_specs=(P(axis, None), P()),
         out_specs=(P(), P(), P(), P()))(source, source_count)
     return IcpResult(rot, t, rmse, nin.astype(jnp.int32), iterations)
+
+
+def distributed_icp_partitioned(
+        source: PointBatch, target: PointBatch, mesh: Mesh,
+        axis: str = POINTS_AXIS,
+        halo: int = 512,
+        capacity_factor: float = 2.0,
+        max_correspondence_distance: float = 1.0,
+        iterations: int = 20,
+        damping: float = 1e-6,
+        tile: int = 2048) -> Tuple[IcpResult, jnp.ndarray]:
+    """Scan-to-map ICP with BOTH clouds Morton-partitioned over the mesh.
+
+    Unlike :func:`distributed_icp` (replicated target), the target map is
+    partitioned: device ``d`` owns the ``d``-th contiguous Morton block of
+    the map and only its own block's points are resident.  The source scan
+    is co-partitioned with the map's splitters
+    (:class:`~pasture_tpu.parallel.partition.MortonPartitionSpec`), so each
+    device matches its local scan block against its local map block plus a
+    ``halo``-row boundary exchange with its ring neighbours
+    (:func:`~pasture_tpu.parallel.halo.halo_exchange_local`) — point data
+    never rides the interconnect beyond the boundary slabs; per iteration
+    only the 6x6 H / 6-vector b statistics are ``psum``-reduced.
+
+    Correctness domain: a correspondence is found iff the true nearest
+    map point lies in the local block or the ±``halo`` boundary rows of
+    the ring neighbours.  Choose ``halo`` ≥ the number of map points
+    within ``max_correspondence_distance`` of a block boundary (Morton
+    blocks are contiguous along the curve, so boundary neighbourhoods are
+    ring-local for smooth clouds); the initial pose error must also stay
+    within the halo margin, as partitioning happens once, up front.
+
+    Returns ``(IcpResult, dropped)`` where ``dropped`` is the summed
+    overflow count of both partitioning steps — callers must check it is
+    zero (raise ``capacity_factor`` otherwise).
+    """
+    pos_name = att.POSITION_3D.name
+
+    def pos_only(b: PointBatch) -> PointBatch:
+        return PointBatch({pos_name: b.data[pos_name]}, b.count,
+                          b.schema, {})
+
+    tgt_p, tgt_counts, tgt_drop, spec = morton_partition(
+        pos_only(target), mesh, axis, capacity_factor, return_spec=True,
+        sort_local=True)
+    src_p, src_counts, src_drop = morton_partition(
+        pos_only(source), mesh, axis, capacity_factor, spec=spec)
+    dropped = jnp.sum(tgt_drop) + jnp.sum(src_drop)
+
+    n_shards = mesh.shape[axis]
+    dtype = source.data[pos_name].dtype
+    max_d2 = jnp.asarray(max_correspondence_distance ** 2, dtype)
+    src_cap = src_p.capacity // n_shards
+
+    def shard_fn(src, s_cnt, tgt, t_cnt):
+        s_valid = jnp.arange(src.shape[0], dtype=jnp.int32) < s_cnt[0]
+        t_valid = jnp.arange(tgt.shape[0], dtype=jnp.int32) < t_cnt[0]
+
+        # ring exchange of the map block's boundary slabs — the halo rows
+        # this shard's correspondences may need beyond its own block
+        halo_cols, halo_counts = halo_exchange_local(
+            {pos_name: tgt}, t_cnt[0], n_shards, halo, axis)
+        hidx = jnp.arange(halo, dtype=jnp.int32)
+        h_valid = jnp.concatenate([hidx < halo_counts[0],
+                                   hidx < halo_counts[1]])
+        full_t = jnp.concatenate([tgt, halo_cols[pos_name]], axis=0)
+        full_valid = jnp.concatenate([t_valid, h_valid])
+
+        def body(carry, _):
+            rot, t = carry
+            moved = transform_points(rot, t, src)
+            nn_idx, d2 = nearest_neighbors(moved, full_t, full_valid, tile)
+            w = (s_valid & (d2 < max_d2)).astype(dtype)
+            d2c = jnp.where(w > 0, d2, 0.0)  # empty shards: d2 == inf
+            r = moved - full_t[nn_idx]
+            eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype),
+                                   (src.shape[0], 3, 3))
+            j = jnp.concatenate([eye, -skew(moved)], axis=2)
+            h = jnp.einsum("nai,naj,n->ij", j, jnp.where(
+                w[:, None, None] > 0, j, 0.0), w)
+            b = jnp.einsum("nai,na,n->i", j, jnp.where(
+                w[:, None] > 0, r, 0.0), w)
+            h = jax.lax.psum(h, axis)
+            b = jax.lax.psum(b, axis)
+            nin = jax.lax.psum(jnp.sum(w), axis)
+            sse = jax.lax.psum(jnp.sum(d2c * w), axis)
+
+            xi = -_solve_gn(h, b, damping)
+            d_rot, d_t = se3_exp(xi)
+            new_rot = d_rot @ rot
+            new_t = (d_rot @ t[:, None])[:, 0] + d_t
+            rmse = jnp.sqrt(sse / jnp.maximum(nin, 1.0))
+            return (new_rot, new_t), (rmse, nin)
+
+        (rot, t), (rmses, nins) = jax.lax.scan(
+            body, (jnp.eye(3, dtype=dtype), jnp.zeros(3, dtype)), None,
+            length=iterations)
+        return rot, t, rmses[-1], nins[-1]
+
+    rot, t, rmse, nin = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis, None), P(axis)),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False)(
+        src_p.data[pos_name], src_counts.astype(jnp.int32),
+        tgt_p.data[pos_name], tgt_counts.astype(jnp.int32))
+    return IcpResult(rot, t, rmse, nin.astype(jnp.int32),
+                     iterations), dropped
 
 
 def distributed_pose_graph(graph: PoseGraph, mesh: Mesh,

@@ -7,6 +7,16 @@ correspondence) near a block boundary need points from those neighbours:
 ``halo_exchange`` ships each shard's first/last ``halo`` rows to its ring
 neighbours with ``ppermute`` — the context-parallel / ring-attention analog
 for the point axis (SURVEY.md §5 mapping).
+
+Two entry points:
+
+* :func:`halo_exchange` — standalone (wraps its own ``shard_map``);
+* :func:`halo_exchange_local` — the per-shard body, for calling INSIDE an
+  enclosing ``shard_map`` (how
+  :func:`~pasture_tpu.parallel.distributed.distributed_icp_partitioned`
+  consumes it: one shard_map runs partition-aware ICP with the halo rows
+  exchanged in the same program, so XLA overlaps the ppermute with local
+  compute).
 """
 
 from __future__ import annotations
@@ -21,7 +31,43 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..buffers.device import PointBatch
 from .mesh import POINTS_AXIS, batch_sharding
 
-__all__ = ["halo_exchange"]
+__all__ = ["halo_exchange", "halo_exchange_local"]
+
+
+def halo_exchange_local(data: Dict[str, jnp.ndarray], count: jnp.ndarray,
+                        n_shards: int, halo: int, axis: str = POINTS_AXIS
+                        ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
+    """Per-shard halo exchange body — call inside ``shard_map``.
+
+    ``data``: this shard's columns (valid prefix of ``count`` rows).
+    Returns ``(halo_cols, halo_counts)``: ``2*halo`` rows per column — the
+    last ``halo`` valid rows of the left ring neighbour, then the first
+    ``halo`` valid rows of the right — and ``halo_counts = (left_n,
+    right_n)`` validity counts for them.
+    """
+    per = next(iter(data.values())).shape[0]
+    fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]   # to right
+    bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]   # to left
+
+    head_n = jnp.minimum(count, halo)
+    tail_n = jnp.minimum(count, halo)
+    tail_start = jnp.maximum(count - halo, 0)
+
+    halo_cols = {}
+    for name, v in data.items():
+        head = v[:halo]
+        # tail: rows [tail_start, tail_start + halo) via a static-size
+        # dynamic slice (clamped; masked by tail_n)
+        tail = jax.lax.dynamic_slice_in_dim(
+            v, jnp.clip(tail_start, 0, per - halo), halo, axis=0)
+        # my tail -> right neighbour's LEFT halo;
+        # my head -> left neighbour's RIGHT halo
+        left_recv = jax.lax.ppermute(tail, axis, fwd)
+        right_recv = jax.lax.ppermute(head, axis, bwd)
+        halo_cols[name] = jnp.concatenate([left_recv, right_recv], axis=0)
+    left_cnt = jax.lax.ppermute(tail_n, axis, fwd)
+    right_cnt = jax.lax.ppermute(head_n, axis, bwd)
+    return halo_cols, jnp.stack([left_cnt, right_cnt])
 
 
 def halo_exchange(batch: PointBatch, per_shard_counts: jnp.ndarray,
@@ -44,34 +90,10 @@ def halo_exchange(batch: PointBatch, per_shard_counts: jnp.ndarray,
     shardings = batch_sharding(mesh, batch, axis)
     data_specs = {k: s.spec for k, s in shardings.data.items()}
 
-    fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]   # to right
-    bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]   # to left
-
     def shard_fn(data, counts):
-        count = counts[0]
-        per = next(iter(data.values())).shape[0]
-
-        # boundary slabs of MY valid prefix (static shapes, masked)
-        idx = jnp.arange(halo, dtype=jnp.int32)
-        head_n = jnp.minimum(count, halo)
-        tail_n = jnp.minimum(count, halo)
-        tail_start = jnp.maximum(count - halo, 0)
-
-        halo_cols = {}
-        for name, v in data.items():
-            head = v[:halo]
-            # tail: rows [tail_start, tail_start + halo) via a static-size
-            # dynamic slice (clamped; masked by tail_n)
-            tail = jax.lax.dynamic_slice_in_dim(
-                v, jnp.clip(tail_start, 0, per - halo), halo, axis=0)
-            # my tail -> right neighbour's LEFT halo;
-            # my head -> left neighbour's RIGHT halo
-            left_recv = jax.lax.ppermute(tail, axis, fwd)
-            right_recv = jax.lax.ppermute(head, axis, bwd)
-            halo_cols[name] = jnp.concatenate([left_recv, right_recv], axis=0)
-        left_cnt = jax.lax.ppermute(tail_n, axis, fwd)
-        right_cnt = jax.lax.ppermute(head_n, axis, bwd)
-        return halo_cols, jnp.stack([left_cnt, right_cnt])[None, :]
+        halo_cols, halo_counts = halo_exchange_local(
+            data, counts[0], n_shards, halo, axis)
+        return halo_cols, halo_counts[None, :]
 
     out_specs_data = {k: P(axis, *[None] * (v.ndim - 1))
                       for k, v in batch.data.items()}

@@ -17,7 +17,7 @@ reference (SURVEY.md §2.5 mapping (c)).
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +30,20 @@ from ..math.morton import morton_encode_dual32
 from ..ops.reductions import batch_bounds
 from .mesh import POINTS_AXIS, batch_sharding
 
-__all__ = ["morton_partition"]
+__all__ = ["morton_partition", "MortonPartitionSpec"]
+
+
+class MortonPartitionSpec(NamedTuple):
+    """The splitters of one partition run: a global grid (``gmin``,
+    ``extent``) plus the bucket->shard map.  Pass it back into
+    :func:`morton_partition` to co-partition a second cloud onto the SAME
+    Morton ranges (scan-to-map: partition the map, then partition each scan
+    with the map's spec so shard ``d`` holds spatially coincident blocks of
+    both clouds)."""
+
+    gmin: jnp.ndarray            # (3,) f32/f64 — global grid origin
+    extent: jnp.ndarray          # (3,) — global grid extent
+    dest_of_bucket: jnp.ndarray  # (4096,) i32 — top-bits bucket -> shard
 
 _HIST_BITS = 12  # histogram over the top 12 Morton bits (4096 buckets)
 
@@ -48,8 +61,10 @@ def _morton_hi_bucket(pos, mask, gmin, extent, axis):
 
 def morton_partition(batch: PointBatch, mesh: Mesh,
                      axis: str = POINTS_AXIS,
-                     capacity_factor: float = 2.0
-                     ) -> Tuple[PointBatch, jnp.ndarray, jnp.ndarray]:
+                     capacity_factor: float = 2.0,
+                     spec: Optional[MortonPartitionSpec] = None,
+                     return_spec: bool = False,
+                     sort_local: bool = False):
     """Repartition so each device owns a contiguous Morton range.
 
     Returns ``(partitioned batch, per_shard_counts, per_shard_dropped)``;
@@ -58,6 +73,19 @@ def morton_partition(batch: PointBatch, mesh: Mesh,
     not send because a destination's ``slot = capacity_factor * per / n``
     budget overflowed — callers must check ``dropped.sum() == 0`` (or raise
     ``capacity_factor``); the pipeline wrappers assert this for you.
+    The slot budget is per (source, destination) PAIR: input that is
+    already spatially sorted concentrates each shard's sends on one
+    destination and needs ``capacity_factor`` up to ``n_shards`` (randomly
+    ordered input spreads sends evenly and 2.0 is ample).
+
+    ``spec``: reuse the splitters of a previous run (co-partitioning, see
+    :class:`MortonPartitionSpec`) instead of computing equal-mass splitters
+    from this batch.  ``return_spec``: also return this run's
+    :class:`MortonPartitionSpec` as a fourth element.  ``sort_local``:
+    additionally sort each shard's block by Morton key, so the valid
+    prefix's first/last rows are the block's key-extremal boundary rows —
+    required by consumers of :func:`~pasture_tpu.parallel.halo
+    .halo_exchange` (boundary slabs are only meaningful on sorted blocks).
     """
     n_shards = mesh.shape[axis]
     per = batch.capacity // n_shards
@@ -68,29 +96,35 @@ def morton_partition(batch: PointBatch, mesh: Mesh,
     shardings = batch_sharding(mesh, batch, axis)
     data_specs = {k: s.spec for k, s in shardings.data.items()}
 
-    def shard_fn(data, count):
+    def shard_fn(data, count, *spec_in):
         pos = data[att.POSITION_3D.name]
         idx = jax.lax.axis_index(axis)
         offset = idx.astype(jnp.int32) * per
         local_count = jnp.clip(count - offset, 0, per)
         mask = jnp.arange(per, dtype=jnp.int32) < local_count
 
-        lmin, lmax = batch_bounds(pos, mask)
-        gmin = jax.lax.pmin(lmin, axis)
-        gmax = jax.lax.pmax(lmax, axis)
-        extent = jnp.maximum(gmax - gmin, 1e-9)
+        if spec_in:
+            gmin, extent, dest_of_bucket = spec_in
+            bucket, (hi, lo) = _morton_hi_bucket(pos, mask, gmin, extent,
+                                                 axis)
+        else:
+            lmin, lmax = batch_bounds(pos, mask)
+            gmin = jax.lax.pmin(lmin, axis)
+            gmax = jax.lax.pmax(lmax, axis)
+            extent = jnp.maximum(gmax - gmin, 1e-9)
 
-        bucket, (hi, lo) = _morton_hi_bucket(pos, mask, gmin, extent, axis)
-        hist = jnp.zeros((1 << _HIST_BITS,), jnp.int32).at[bucket].add(
-            mask.astype(jnp.int32))
-        ghist = jax.lax.psum(hist, axis)
+            bucket, (hi, lo) = _morton_hi_bucket(pos, mask, gmin, extent,
+                                                 axis)
+            hist = jnp.zeros((1 << _HIST_BITS,), jnp.int32).at[bucket].add(
+                mask.astype(jnp.int32))
+            ghist = jax.lax.psum(hist, axis)
 
-        # equal-mass splitters: destination shard per bucket
-        csum = jnp.cumsum(ghist)
-        total = jnp.maximum(csum[-1], 1)
-        dest_of_bucket = jnp.clip(
-            ((csum - ghist // 2) * n_shards) // total, 0, n_shards - 1
-        ).astype(jnp.int32)
+            # equal-mass splitters: destination shard per bucket
+            csum = jnp.cumsum(ghist)
+            total = jnp.maximum(csum[-1], 1)
+            dest_of_bucket = jnp.clip(
+                ((csum - ghist // 2) * n_shards) // total, 0, n_shards - 1
+            ).astype(jnp.int32)
         dest = dest_of_bucket[bucket]
         dest = jnp.where(mask, dest, n_shards)  # invalid -> nowhere
 
@@ -141,14 +175,34 @@ def morton_partition(batch: PointBatch, mesh: Mesh,
             rowt = jnp.where(keep, dest_pos, cap_out)
             out = out.at[rowt].set(flat, mode="drop")
             new_cols[name] = out
-        return new_cols, new_count[None], dropped[None]
+        if sort_local:
+            # Morton-sort the received block so its first/last valid rows
+            # are the key-extremal boundary rows (halo_exchange contract).
+            posn = new_cols[att.POSITION_3D.name]
+            maskn = jnp.arange(cap_out, dtype=jnp.int32) < new_count
+            _, (hi2, lo2) = _morton_hi_bucket(posn, maskn, gmin, extent,
+                                              axis)
+            big = jnp.uint32(0xFFFFFFFF)
+            hi2 = jnp.where(maskn, hi2, big)
+            lo2 = jnp.where(maskn, lo2, big)
+            order = jnp.argsort(lo2, stable=True)
+            order = order[jnp.argsort(hi2[order], stable=True)]
+            new_cols = {k: v[order] for k, v in new_cols.items()}
+        return (new_cols, new_count[None], dropped[None],
+                gmin, extent, dest_of_bucket)
 
     out_specs_data = {k: P(axis, *[None] * (v.ndim - 1))
                       for k, v in batch.data.items()}
-    new_data, counts, dropped = shard_map(
+    spec_args = tuple(spec) if spec is not None else ()
+    spec_in_specs = (P(), P(), P()) if spec is not None else ()
+    new_data, counts, dropped, gmin, extent, dob = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(data_specs, P()),
-        out_specs=(out_specs_data, P(axis), P(axis)),
-        check_vma=False)(batch.data, batch.count)
+        in_specs=(data_specs, P()) + spec_in_specs,
+        out_specs=(out_specs_data, P(axis), P(axis), P(), P(), P()),
+        check_vma=False)(batch.data, batch.count, *spec_args)
     total = jnp.sum(counts).astype(jnp.int32)
-    return PointBatch(new_data, total, batch.schema, batch.meta), counts, dropped
+    out_batch = PointBatch(new_data, total, batch.schema, batch.meta)
+    if return_spec:
+        return out_batch, counts, dropped, MortonPartitionSpec(
+            gmin, extent, dob)
+    return out_batch, counts, dropped
