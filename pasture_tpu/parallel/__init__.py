@@ -16,3 +16,4 @@ from .distributed import distributed_icp, distributed_icp_partitioned, \
     distributed_pose_graph  # noqa: F401
 from .halo import halo_exchange, halo_exchange_local  # noqa: F401
 from .ingest import sharded_read_all  # noqa: F401
+from .multihost import initialize_multihost, global_mesh  # noqa: F401
