@@ -6,10 +6,22 @@ space.  TPU-native structure:
 
 * per-edge 6x6 Jacobian blocks come from *forward-mode autodiff* of the
   residual at zero perturbation, vmapped over all edges at once;
-* the (6N, 6N) normal equations are assembled with scatter-adds and solved
-  with a dense Cholesky — MXU work that stays fast to thousands of
-  keyframes;
-* everything runs in one ``lax.scan`` over a fixed iteration count.
+* two solvers behind one entry point:
+
+  - ``solver="dense"``: the (6N, 6N) normal equations assembled with
+    scatter-adds and a dense Cholesky — exact, MXU-friendly, right up to
+    ~2k keyframes (O(N^3) flops, O(N^2) memory);
+  - ``solver="cg"``: block-sparse preconditioned conjugate gradient —
+    H is NEVER materialized.  H·x products are batched per-edge (6,6)
+    einsums + ONE fused scatter-add over the 2E block rows; the
+    preconditioner is block-Jacobi (vmapped 6x6 Cholesky of the damped
+    diagonal blocks).  Memory and per-CG-iteration cost are O(E); this is
+    the ≥10k-keyframe path (the landmark-free analog of Schur reduction:
+    the block diagonal is eliminated by the preconditioner instead of a
+    dense factorization);
+
+* everything runs in one ``lax.scan`` over a fixed iteration count (the CG
+  inner loop is a ``while_loop`` with a relative-residual exit).
 
 The distributed form (edges sharded over a device mesh, partial H/b reduced
 with ``psum`` before the replicated solve) lives in
@@ -124,6 +136,117 @@ def build_normal_equations(rotations, translations, edges, rel_rotations,
     return h.reshape(6 * n, 6 * n), b.reshape(6 * n)
 
 
+def _edge_blocks(rotations, translations, edges, rel_rotations,
+                 rel_translations, weights):
+    """Per-edge residuals and weighted Jacobian blocks (never the full H).
+
+    Returns ``(r, ja, jb)``: (E, 6) residuals and (E, 6, 6) Jacobians wrt
+    xi_i / xi_j, with the weight folded into the Jacobians' outer products
+    by the callers."""
+    dtype = translations.dtype
+    zero = jnp.zeros(6, dtype)
+
+    def residual_and_jac(edge, rel_rot, rel_t):
+        i, j = edge[0], edge[1]
+
+        def f(xi_i, xi_j):
+            return _edge_residual(xi_i, xi_j, rotations[i], translations[i],
+                                  rotations[j], translations[j],
+                                  rel_rot, rel_t)
+
+        r = f(zero, zero)
+        ja = jax.jacfwd(f, argnums=0)(zero, zero)
+        jb = jax.jacfwd(f, argnums=1)(zero, zero)
+        return r, ja, jb
+
+    return jax.vmap(residual_and_jac)(edges, rel_rotations, rel_translations)
+
+
+def _pcg_solve(diag_chol, hij, hij_t, i_idx, j_idx, diag, b, cg_iterations,
+               tol):
+    """Block-sparse PCG for H xi = b.
+
+    ``diag`` (N, 6, 6): damped+anchored diagonal blocks; ``diag_chol``:
+    their Cholesky factors (the block-Jacobi preconditioner).  ``hij``
+    (E, 6, 6): weighted off-diagonal blocks ja^T W jb for edges (i, j);
+    ``hij_t`` their transposes.  One H·x costs two gathers, two batched
+    (E,6,6)x(E,6) einsums, and ONE fused scatter-add over 2E rows.
+    """
+    n = b.shape[0]
+
+    def apply_h(x):
+        y = jnp.einsum("nab,nb->na", diag, x)
+        contrib = jnp.concatenate([
+            jnp.einsum("eab,eb->ea", hij, x[j_idx]),    # into row i
+            jnp.einsum("eab,eb->ea", hij_t, x[i_idx]),  # into row j
+        ])
+        rows = jnp.concatenate([i_idx, j_idx])
+        return y.at[rows].add(contrib)
+
+    def apply_minv(r):
+        return jax.scipy.linalg.cho_solve((diag_chol, True), r[..., None]
+                                          )[..., 0]
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = apply_minv(r0)
+    rz0 = jnp.sum(r0 * z0)
+    tol2 = tol * tol * jnp.maximum(rz0, 1e-300)
+
+    def cond(state):
+        k, _, _, _, rz = state
+        return (k < cg_iterations) & (rz > tol2)
+
+    def step(state):
+        k, x, r, p, rz = state
+        hp = apply_h(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * hp), 1e-300)
+        x = x + alpha * p
+        r = r - alpha * hp
+        z = apply_minv(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.maximum(rz, 1e-300)
+        p = z + beta * p
+        return k + 1, x, r, p, rz_new
+
+    _, x, _, _, _ = jax.lax.while_loop(
+        cond, step, (jnp.asarray(0, jnp.int32), x0, r0, z0, rz0))
+    return x
+
+
+def _gn_step_cg(rotations, translations, edges, rel_rotations,
+                rel_translations, weights, damping, anchor_weight,
+                cg_iterations, cg_tol):
+    """One Gauss-Newton step solved with block-sparse PCG — O(E) memory."""
+    n = rotations.shape[0]
+    dtype = translations.dtype
+    r, ja, jb = _edge_blocks(rotations, translations, edges, rel_rotations,
+                             rel_translations, weights)
+    w = weights[:, None, None]
+    i_idx, j_idx = edges[:, 0], edges[:, 1]
+
+    # block diagonal: edge contributions + damping + gauge anchor
+    diag = jnp.zeros((n, 6, 6), dtype)
+    diag = diag.at[i_idx].add(w * jnp.einsum("eab,eac->ebc", ja, ja))
+    diag = diag.at[j_idx].add(w * jnp.einsum("eab,eac->ebc", jb, jb))
+    eye6 = jnp.eye(6, dtype=dtype)
+    diag = diag + damping * eye6[None]
+    diag = diag.at[0].add(anchor_weight * eye6)
+
+    hij = w * jnp.einsum("eab,eac->ebc", ja, jb)      # (E, 6, 6)
+    hij_t = jnp.swapaxes(hij, 1, 2)
+
+    b = jnp.zeros((n, 6), dtype)
+    wj = weights[:, None]
+    b = b.at[i_idx].add(wj * jnp.einsum("eab,ea->eb", ja, r))
+    b = b.at[j_idx].add(wj * jnp.einsum("eab,ea->eb", jb, r))
+
+    diag_chol = jnp.linalg.cholesky(diag)             # block-Jacobi M
+    xi = _pcg_solve(diag_chol, hij, hij_t, i_idx, j_idx, diag, -b,
+                    cg_iterations, cg_tol)
+    return xi
+
+
 def _apply_update(rotations, translations, xi):
     d_rot, d_t = se3_exp(xi)                    # (N,3,3), (N,3)
     new_rot = d_rot @ rotations
@@ -133,11 +256,20 @@ def _apply_update(rotations, translations, xi):
 
 def optimize_pose_graph(graph: PoseGraph, iterations: int = 10,
                         damping: float = 1e-6,
-                        anchor_weight: float = 1e8) -> Tuple[PoseGraph,
-                                                             jnp.ndarray]:
+                        anchor_weight: float = 1e8,
+                        solver: str = "dense",
+                        cg_iterations: int = 500,
+                        cg_tol: float = 1e-8) -> Tuple[PoseGraph,
+                                                       jnp.ndarray]:
     """Gauss-Newton pose-graph solve; pose 0 is gauge-anchored.
 
-    Returns (optimized graph, per-iteration total squared residual)."""
+    ``solver="dense"`` factorizes the full (6N, 6N) system (exact, up to
+    ~2k poses); ``solver="cg"`` runs block-sparse PCG with a block-Jacobi
+    preconditioner (O(E) memory, the ≥10k-pose path; ``cg_iterations`` /
+    ``cg_tol`` bound the inner loop).  Returns (optimized graph,
+    per-iteration total squared residual)."""
+    if solver not in ("dense", "cg"):
+        raise ValueError(f"unknown solver {solver!r}")
     n = graph.num_poses
     dtype = graph.translations.dtype
     weights = (graph.weights if graph.weights is not None
@@ -145,17 +277,23 @@ def optimize_pose_graph(graph: PoseGraph, iterations: int = 10,
 
     def body(carry, _):
         rotations, translations = carry
-        h, b = build_normal_equations(rotations, translations, graph.edges,
-                                      graph.rel_rotations,
-                                      graph.rel_translations, weights)
-        # gauge fix: strong prior on pose 0 staying put
-        anchor = jnp.zeros(6 * n, dtype).at[:6].set(anchor_weight)
-        h = h + jnp.diag(anchor) + damping * jnp.eye(6 * n, dtype=dtype)
-        l = jnp.linalg.cholesky(h)
-        y = jax.scipy.linalg.solve_triangular(l, -b, lower=True)
-        xi = jax.scipy.linalg.solve_triangular(l.T, y, lower=False)
-        new_rot, new_t = _apply_update(rotations, translations,
-                                       xi.reshape(n, 6))
+        if solver == "dense":
+            h, b = build_normal_equations(
+                rotations, translations, graph.edges, graph.rel_rotations,
+                graph.rel_translations, weights)
+            # gauge fix: strong prior on pose 0 staying put
+            anchor = jnp.zeros(6 * n, dtype).at[:6].set(anchor_weight)
+            h = h + jnp.diag(anchor) + damping * jnp.eye(6 * n, dtype=dtype)
+            l = jnp.linalg.cholesky(h)
+            y = jax.scipy.linalg.solve_triangular(l, -b, lower=True)
+            xi = jax.scipy.linalg.solve_triangular(
+                l.T, y, lower=False).reshape(n, 6)
+        else:
+            xi = _gn_step_cg(rotations, translations, graph.edges,
+                             graph.rel_rotations, graph.rel_translations,
+                             weights, damping, anchor_weight,
+                             cg_iterations, cg_tol)
+        new_rot, new_t = _apply_update(rotations, translations, xi)
         res = edge_residuals(dataclasses.replace(
             graph, rotations=new_rot, translations=new_t))
         cost = jnp.sum(weights[:, None] * res * res)

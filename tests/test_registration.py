@@ -145,3 +145,36 @@ def test_pose_graph_with_rotation_noise(rng):
     # the perturbed rotations are inconsistent with the measurements; GN
     # should still cut the cost by a large factor
     assert float(costs[-1]) < initial_cost * 0.05
+
+
+def test_pose_graph_cg_matches_dense(rng):
+    """Block-sparse PCG solves the same normal equations as the dense
+    Cholesky — solutions must agree to solver tolerance."""
+    graph, true_t = _circle_graph(48, rng)
+    dense, costs_d = optimize_pose_graph(graph, iterations=5)
+    sparse, costs_s = optimize_pose_graph(graph, iterations=5, solver="cg",
+                                          cg_iterations=2000, cg_tol=1e-12)
+    np.testing.assert_allclose(np.asarray(sparse.translations),
+                               np.asarray(dense.translations), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sparse.rotations),
+                               np.asarray(dense.rotations), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(costs_s), np.asarray(costs_d),
+                               rtol=1e-6, atol=1e-10)
+
+
+def test_pose_graph_cg_5000_poses(rng):
+    """The ≥5k-keyframe scale target: the dense path would need a
+    (30000, 30000) factorization; the block-sparse CG path runs in O(E)."""
+    n = 5000
+    graph, true_t = _circle_graph(n, rng)
+    drift_before = np.linalg.norm(
+        np.asarray(graph.translations) - true_t, axis=1)
+    optimized, costs = optimize_pose_graph(graph, iterations=3, solver="cg",
+                                           cg_iterations=600, cg_tol=1e-10)
+    drift_after = np.linalg.norm(
+        np.asarray(optimized.translations) - true_t, axis=1)
+    assert drift_after.mean() < drift_before.mean() * 0.2, (
+        drift_before.mean(), drift_after.mean())
+    assert float(costs[-1]) < float(costs[0]) + 1e-9
+    np.testing.assert_allclose(np.asarray(optimized.translations[0]),
+                               true_t[0], atol=1e-4)
