@@ -118,10 +118,6 @@ class PntsReader(PointReader):
             ft_header.pop("QUANTIZED_VOLUME_SCALE", None),
             ft_header.pop("CONSTANT_RGBA", None),
             ft_header.pop("BATCH_LENGTH", None))
-        if "POSITION_QUANTIZED" in ft_header:
-            raise ValueError("quantized positions are not supported "
-                             "(pnts_reader.rs:131 parity)")
-
         body = _HEADER.size + ftj
         schema = PointSchema()
         cols: Dict[str, np.ndarray] = {}
@@ -139,6 +135,38 @@ class PntsReader(PointReader):
             arr = np.frombuffer(buf, npdt, cnt, start)
             cols[attribute.name] = arr.reshape(
                 (n,) + attribute.dtype.np_shape).copy()
+
+        # quantized positions: u16 triples dequantized into the volume
+        # (beyond the reference, which TODOs this — pnts_reader.rs:131)
+        qref = ft_header.pop("POSITION_QUANTIZED", None)
+        if qref is not None and att.POSITION_3D.name not in cols:
+            off = self._metadata.quantized_volume_offset
+            sc = self._metadata.quantized_volume_scale
+            if off is None or sc is None:
+                raise ValueError(
+                    "POSITION_QUANTIZED requires QUANTIZED_VOLUME_OFFSET "
+                    "and QUANTIZED_VOLUME_SCALE")
+            if not isinstance(qref, FeatureTableDataReference):
+                raise ValueError(
+                    "PNTS attribute POSITION_QUANTIZED must be a data "
+                    "reference")
+            q = np.frombuffer(buf, np.uint16, n * 3,
+                              body + qref.byte_offset).reshape(n, 3)
+            pos = (np.asarray(off, np.float64)[None, :]
+                   + q.astype(np.float64) / 65535.0
+                   * np.asarray(sc, np.float64)[None, :]).astype(np.float32)
+            schema.add_attribute(att.POSITION_3D.with_dtype(dt.VEC3F32), 1)
+            cols[att.POSITION_3D.name] = pos
+
+        # CONSTANT_RGBA: materialize as a per-point color column when no
+        # explicit color semantic is present (spec: per-point color wins)
+        crgba = self._metadata.constant_rgba
+        if (crgba is not None and att.COLOR_RGBA.name not in cols
+                and att.COLOR_RGB.name not in cols):
+            schema.add_attribute(att.COLOR_RGBA, 1)
+            cols[att.COLOR_RGBA.name] = np.broadcast_to(
+                np.asarray(crgba, np.uint8)[None, :], (n, 4)).copy()
+
         self._schema = schema
         self._columns = cols
         self._mode = read_positions_mode

@@ -188,3 +188,56 @@ def test_info_cli(reference_test_data, capsys):
     assert "Points: 10" in out
     assert "Position3D" in out
     assert "min=[0.0, 0.0, 0.0] max=[9.0, 9.0, 9.0]" in out
+
+
+def _pnts_bytes(ft_header, body):
+    import struct
+    from pasture_tpu.io.tiles3d.feature_table import \
+        write_feature_table_header
+    H = struct.Struct("<4sIIIIII")
+    ftj = write_feature_table_header(ft_header, 8, H.size)
+    total = H.size + len(ftj) + len(body)
+    return H.pack(b"pnts", 1, total, len(ftj), len(body), 0, 0) + ftj + body
+
+
+def test_pnts_quantized_positions():
+    """POSITION_QUANTIZED decode (beyond the reference's TODO,
+    pnts_reader.rs:131): u16 triples dequantize into the volume."""
+    from pasture_tpu.io.tiles3d.feature_table import \
+        FeatureTableDataReference
+
+    q = np.asarray([[0, 0, 0], [65535, 65535, 65535], [32767, 0, 65535]],
+                   np.uint16)
+    data = _pnts_bytes({
+        "POINTS_LENGTH": 3,
+        "QUANTIZED_VOLUME_OFFSET": [10.0, 20.0, 30.0],
+        "QUANTIZED_VOLUME_SCALE": [2.0, 4.0, 8.0],
+        "POSITION_QUANTIZED": FeatureTableDataReference(0),
+    }, q.tobytes())
+    r = PntsReader(data)
+    buf = r.read_all()
+    pos = buf.get(att.POSITION_3D.name)
+    np.testing.assert_allclose(pos[0], [10.0, 20.0, 30.0], atol=1e-4)
+    np.testing.assert_allclose(pos[1], [12.0, 24.0, 38.0], atol=1e-4)
+    np.testing.assert_allclose(pos[2], [10.0 + 2.0 * 32767 / 65535,
+                                        20.0, 38.0], atol=1e-4)
+
+
+def test_pnts_constant_rgba_materialized():
+    """CONSTANT_RGBA becomes a per-point COLOR_RGBA column when no
+    explicit color semantic is present."""
+    from pasture_tpu.io.tiles3d.feature_table import \
+        FeatureTableDataReference
+
+    pos = np.asarray([[1, 2, 3], [4, 5, 6]], np.float32)
+    data = _pnts_bytes({
+        "POINTS_LENGTH": 2,
+        "CONSTANT_RGBA": [255, 128, 0, 200],
+        "POSITION": FeatureTableDataReference(0),
+    }, pos.tobytes())
+    r = PntsReader(data)
+    buf = r.read_all()
+    rgba = buf.get(att.COLOR_RGBA.name)
+    assert rgba.shape == (2, 4)
+    np.testing.assert_array_equal(rgba, [[255, 128, 0, 200]] * 2)
+    np.testing.assert_allclose(buf.get(att.POSITION_3D.name), pos)
