@@ -21,7 +21,8 @@ from jax import shard_map
 from ..buffers.device import PointBatch
 from ..layout import attributes as att
 from ..registration.icp import IcpResult, nearest_neighbors, _solve_gn
-from ..registration.pose_graph import PoseGraph, build_normal_equations
+from ..registration.pose_graph import (PoseGraph, _edge_blocks,
+                                       build_normal_equations)
 from ..registration.se3 import se3_exp, skew, transform_points
 from .halo import halo_exchange_local
 from .mesh import POINTS_AXIS
@@ -208,15 +209,25 @@ def distributed_pose_graph(graph: PoseGraph, mesh: Mesh,
                            axis: str = POINTS_AXIS,
                            iterations: int = 10,
                            damping: float = 1e-6,
-                           anchor_weight: float = 1e8
+                           anchor_weight: float = 1e8,
+                           solver: str = "dense",
+                           cg_iterations: int = 500,
+                           cg_tol: float = 1e-8
                            ) -> Tuple[PoseGraph, jnp.ndarray]:
     """Pose-graph Gauss-Newton with the *edge set* sharded over the mesh.
 
     Poses replicate (6N parameters are tiny); each device assembles the
-    partial H/b for its edge shard; ``psum`` reduces; the dense 6Nx6N
-    Cholesky runs replicated.  Edge count must divide the axis size (pad
+    partial H/b for its edge shard.  ``solver="dense"``: ``psum`` reduces
+    the full (6N, 6N) H and the Cholesky runs replicated — right to ~2k
+    poses.  ``solver="cg"``: block-sparse PCG where each device applies
+    only ITS edge shard's off-diagonal blocks per H·x product and a (N, 6)
+    ``psum`` reduces — O(E/devices) memory per device, the ≥10k-pose path
+    (same solver as registration.optimize_pose_graph(solver="cg"), with
+    the edge loop distributed).  Edge count must divide the axis size (pad
     with zero-weight self-edges ``(0, 0)`` if needed).
     """
+    if solver not in ("dense", "cg"):
+        raise ValueError(f"unknown solver {solver!r}")
     n = graph.num_poses
     e = graph.num_edges
     n_shards = mesh.shape[axis]
@@ -237,23 +248,92 @@ def distributed_pose_graph(graph: PoseGraph, mesh: Mesh,
         edges, rel_r, rel_t = (graph.edges, graph.rel_rotations,
                                graph.rel_translations)
 
+    def _xi_dense(rotations, translations, edges_s, rel_r_s, rel_t_s, w_s):
+        h, b = build_normal_equations(rotations, translations, edges_s,
+                                      rel_r_s, rel_t_s, w_s)
+        h = jax.lax.psum(h, axis)
+        b = jax.lax.psum(b, axis)
+        anchor = jnp.zeros(6 * n, dtype).at[:6].set(anchor_weight)
+        h = h + jnp.diag(anchor) + damping * jnp.eye(6 * n, dtype=dtype)
+        l = jnp.linalg.cholesky(h)
+        y = jax.scipy.linalg.solve_triangular(l, -b, lower=True)
+        xi = jax.scipy.linalg.solve_triangular(
+            l.T, y, lower=False).reshape(n, 6)
+        return xi, jnp.sum(b * b)
+
+    def _xi_cg(rotations, translations, edges_s, rel_r_s, rel_t_s, w_s):
+        # per-shard edge blocks; diag/b psum to replicated (N,6,...) —
+        # H itself is never materialized anywhere
+        r, ja, jb = _edge_blocks(rotations, translations, edges_s,
+                                 rel_r_s, rel_t_s, w_s)
+        w3 = w_s[:, None, None]
+        i_idx, j_idx = edges_s[:, 0], edges_s[:, 1]
+        diag = jnp.zeros((n, 6, 6), dtype)
+        diag = diag.at[i_idx].add(w3 * jnp.einsum("eab,eac->ebc", ja, ja))
+        diag = diag.at[j_idx].add(w3 * jnp.einsum("eab,eac->ebc", jb, jb))
+        diag = jax.lax.psum(diag, axis)
+        eye6 = jnp.eye(6, dtype=dtype)
+        diag = diag + damping * eye6[None]
+        diag = diag.at[0].add(anchor_weight * eye6)
+        hij = w3 * jnp.einsum("eab,eac->ebc", ja, jb)
+        hij_t = jnp.swapaxes(hij, 1, 2)
+        b = jnp.zeros((n, 6), dtype)
+        w1 = w_s[:, None]
+        b = b.at[i_idx].add(w1 * jnp.einsum("eab,ea->eb", ja, r))
+        b = b.at[j_idx].add(w1 * jnp.einsum("eab,ea->eb", jb, r))
+        b = jax.lax.psum(b, axis)
+        diag_chol = jnp.linalg.cholesky(diag)
+
+        def apply_h(x):
+            contrib = jnp.concatenate([
+                jnp.einsum("eab,eb->ea", hij, x[j_idx]),
+                jnp.einsum("eab,eb->ea", hij_t, x[i_idx])])
+            rows = jnp.concatenate([i_idx, j_idx])
+            y_edge = jnp.zeros((n, 6), dtype).at[rows].add(contrib)
+            # THE collective: one (N, 6) reduce per CG iteration
+            y_edge = jax.lax.psum(y_edge, axis)
+            return jnp.einsum("nab,nb->na", diag, x) + y_edge
+
+        def apply_minv(rr):
+            return jax.scipy.linalg.cho_solve((diag_chol, True),
+                                              rr[..., None])[..., 0]
+
+        bb = -b
+        x0 = jnp.zeros_like(bb)
+        z0 = apply_minv(bb)
+        rz0 = jnp.sum(bb * z0)
+        tol2 = cg_tol * cg_tol * jnp.maximum(rz0, 1e-300)
+
+        def cond(state):
+            k, _, _, _, rz = state
+            return (k < cg_iterations) & (rz > tol2)
+
+        def step(state):
+            k, x, rr, p, rz = state
+            hp = apply_h(p)
+            alpha = rz / jnp.maximum(jnp.sum(p * hp), 1e-300)
+            x = x + alpha * p
+            rr = rr - alpha * hp
+            z = apply_minv(rr)
+            rz_new = jnp.sum(rr * z)
+            beta = rz_new / jnp.maximum(rz, 1e-300)
+            p = z + beta * p
+            return k + 1, x, rr, p, rz_new
+
+        _, xi, _, _, _ = jax.lax.while_loop(
+            cond, step, (jnp.asarray(0, jnp.int32), x0, bb, z0, rz0))
+        return xi, jnp.sum(b * b)
+
     def shard_fn(edges_s, rel_r_s, rel_t_s, w_s, rot0, t0):
+        xi_fn = _xi_dense if solver == "dense" else _xi_cg
+
         def body(carry, _):
             rotations, translations = carry
-            h, b = build_normal_equations(rotations, translations, edges_s,
-                                          rel_r_s, rel_t_s, w_s)
-            h = jax.lax.psum(h, axis)
-            b = jax.lax.psum(b, axis)
-            anchor = jnp.zeros(6 * n, dtype).at[:6].set(anchor_weight)
-            h = h + jnp.diag(anchor) + damping * jnp.eye(6 * n, dtype=dtype)
-            l = jnp.linalg.cholesky(h)
-            y = jax.scipy.linalg.solve_triangular(l, -b, lower=True)
-            xi = jax.scipy.linalg.solve_triangular(
-                l.T, y, lower=False).reshape(n, 6)
+            xi, cost = xi_fn(rotations, translations, edges_s, rel_r_s,
+                             rel_t_s, w_s)
             d_rot, d_t = se3_exp(xi)
             new_rot = d_rot @ rotations
             new_t = (d_rot @ translations[..., None])[..., 0] + d_t
-            cost = jnp.sum(b * b)
             return (new_rot, new_t), cost
 
         (rot, t), costs = jax.lax.scan(body, (rot0, t0), None,

@@ -211,3 +211,21 @@ def test_distributed_icp_partitioned_2d_manifold(mesh, rng):
                                np.asarray(res_single.translation), atol=5e-3)
     np.testing.assert_allclose(np.asarray(res_dist.rotation),
                                np.asarray(res_single.rotation), atol=5e-3)
+
+
+def test_distributed_pose_graph_cg_matches_dense(mesh, rng):
+    """Edge-sharded CG pose-graph solve (per-iteration (N,6) psum, no
+    (6N,6N) matrix anywhere) matches the dense distributed solve."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_registration import _circle_graph
+    graph, true_t = _circle_graph(32, rng)
+    dense, costs_d = distributed_pose_graph(graph, mesh, iterations=4)
+    sparse, costs_s = distributed_pose_graph(graph, mesh, iterations=4,
+                                             solver="cg",
+                                             cg_iterations=2000,
+                                             cg_tol=1e-12)
+    np.testing.assert_allclose(np.asarray(sparse.translations),
+                               np.asarray(dense.translations), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(costs_s), np.asarray(costs_d),
+                               rtol=1e-6, atol=1e-10)
