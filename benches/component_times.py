@@ -173,8 +173,81 @@ def run_pipeline_stages():
     print(f"{'full':12s} cum {t:7.2f} ms", flush=True)
 
 
+def run_exact_stages():
+    """Stage attribution for the EXACT path (positions as f32 sort
+    operands, exact fused reduce — benches/exact_path_bench.py)."""
+    import bench as B
+    from pasture_tpu.ops.kernels import (fused_decode_transform_key,
+                                         fused_world_bounds)
+    from pasture_tpu.ops.kernels.voxel_reduce_kernel import (
+        REDUCE_BLOCK, fused_sorted_voxel_reduce)
+    from pasture_tpu.ops.compact import _merge_tiles
+
+    def stage(upto):
+        def one(batch, shift):
+            scale = jnp.asarray([0.001] * 3, jnp.float32)
+            local = batch.data["LASLocalPosition"]
+            c, s = 0.9689124, 0.24740396
+            rot = jnp.asarray([[c, -s, 0.], [s, c, 0.], [0., 0., 1.]],
+                              jnp.float32)
+            t = jnp.asarray([10., -5., 2.], jnp.float32) + shift
+            wmin, _ = fused_world_bounds(local, scale, rot, t)
+            bmin = jnp.stack([wmin[0], wmin[1], t[2]])
+            world, keys = fused_decode_transform_key(local, scale, rot, t,
+                                                     bmin, B.LEAF)
+            if upto == 0:
+                return chk(keys) + chk(world[:, 0])
+            word = ((batch.data["Classification"].astype(jnp.uint32) << 24)
+                    | batch.data["Intensity"].astype(jnp.uint32) << 8)
+            shaped = tuple(o.reshape(B.TILES, -1) for o in
+                           (keys, word, world[:, 0], world[:, 1],
+                            world[:, 2]))
+            srt = lax.sort(shaped, dimension=1, num_keys=2, is_stable=False)
+            outs = tuple(o.reshape(-1) for o in srt)
+            if upto == 1:
+                return sum(chk(o) for o in outs)
+            fields = ((8, 16, False, 0, 65535),)
+            tile_len = B.N // B.TILES
+            streams, cnts = fused_sorted_voxel_reduce(
+                outs[0], outs[1], None, bmin.astype(jnp.float32), B.LEAF,
+                8, fields, 0, 1.0, tile_len, "floor",
+                spos=(outs[2], outs[3], outs[4]))
+            if upto == 2:
+                return sum(chk(o) for o in streams) + chk(cnts)
+            blocks = B.N // REDUCE_BLOCK
+            mask = jnp.arange(B.N, dtype=jnp.int32) < batch.count
+            merged, nv = _merge_tiles(
+                [s.reshape(blocks, REDUCE_BLOCK) for s in streams], cnts,
+                mask, B.N, REDUCE_BLOCK)
+            return sum(chk(o) for o in merged) + nv.astype(jnp.int32)
+        return one
+
+    batch = B.make_batch(B.N)
+
+    @jax.jit
+    def overhead(b):
+        return chk(b.data["LASLocalPosition"][:, 0])
+    t0 = timed(overhead, batch)
+    print(f"overhead {t0*1e3:7.2f} ms", flush=True)
+
+    for upto, name in ((0, "head"), (1, "+sort5op"), (2, "+reduce_krn"),
+                       (3, "+merge")):
+        body = stage(upto)
+
+        @jax.jit
+        def run(b, _body=body):
+            def bf(i, carry):
+                return carry + _body(b, (carry.astype(jnp.float32) % 7.)
+                                     * 1e-6)
+            return lax.fori_loop(0, K, bf, jnp.asarray(0, jnp.int32))
+        t = (timed(run, batch) - t0) / K * 1e3
+        print(f"{name:12s} cum {t:7.2f} ms", flush=True)
+
+
 if __name__ == "__main__":
     if "--primitives" in sys.argv:
         run_primitives()
+    elif "--exact" in sys.argv:
+        run_exact_stages()
     else:
         run_pipeline_stages()

@@ -162,20 +162,28 @@ def _seg_max(col, first, rows, neutral, max_seg=None):
 
 
 def _make_kernel(mode_bits: int, fields, qbits: int, qwindow: float,
-                 tile_len: int):
+                 tile_len: int, exact_pos: bool = False):
     """``fields``: static list of (shift, width, signed, imin, imax) mean
-    fields packed in the secondary word below the mode bits."""
+    fields packed in the secondary word below the mode bits.
+
+    ``exact_pos``: positions arrive as three sorted f32 operands instead of
+    the packed residual word — the centroid is their exact block-local
+    segmented f32 mean (no quantization, no reconstruction from the key)."""
     rows = _BLOCK_ROWS
     total = rows * _LANES
 
-    def kernel(key_ref, word_ref, q_ref, params_ref,
-               px_ref, py_ref, pz_ref, word_out_ref, cnt_ref):
+    def kernel(key_ref, word_ref, *rest):
+        if exact_pos:
+            (pxi_ref, pyi_ref, pzi_ref, params_ref,
+             px_ref, py_ref, pz_ref, word_out_ref, cnt_ref) = rest
+        else:
+            (q_ref, params_ref,
+             px_ref, py_ref, pz_ref, word_out_ref, cnt_ref) = rest
         p = params_ref[:]
         bmin, leaf = p[0:3], p[3]
 
         key = key_ref[...]
         word = word_ref[...]
-        qw = q_ref[...]
 
         flat_idx = (jax.lax.broadcasted_iota(jnp.int32, key.shape, 0)
                     * _LANES
@@ -186,13 +194,18 @@ def _make_kernel(mode_bits: int, fields, qbits: int, qwindow: float,
                          | (flat_idx % tile_len == 0))
 
         # ---- mean sums (+ counts) over segments -------------------------
-        qm = jnp.uint32((1 << qbits) - 1)
         cols = []
-        for sh in (2 * qbits, qbits, 0):
-            # u32 -> i32 -> f32 (Mosaic lacks direct u32<->f32 casts)
-            qc = ((qw >> jnp.uint32(sh)) & qm).astype(jnp.int32) \
-                .astype(jnp.float32)
-            cols.append(jnp.where(valid, qc, 0.0))
+        if exact_pos:
+            for ref in (pxi_ref, pyi_ref, pzi_ref):
+                cols.append(jnp.where(valid, ref[...], 0.0))
+        else:
+            qw = q_ref[...]
+            qm = jnp.uint32((1 << qbits) - 1)
+            for sh in (2 * qbits, qbits, 0):
+                # u32 -> i32 -> f32 (Mosaic lacks direct u32<->f32 casts)
+                qc = ((qw >> jnp.uint32(sh)) & qm).astype(jnp.int32) \
+                    .astype(jnp.float32)
+                cols.append(jnp.where(valid, qc, 0.0))
         for (fsh, fw, fsigned, _, _) in fields:
             u = (word >> jnp.uint32(fsh)) & jnp.uint32((1 << fw) - 1)
             if fsigned:
@@ -235,14 +248,18 @@ def _make_kernel(mode_bits: int, fields, qbits: int, qwindow: float,
                     & jnp.uint32((1 << fw) - 1))
             out_word = out_word | (bits << jnp.uint32(fsh))
 
-        # ---- centroid reconstruction from key + mean residual -----------
-        cx = _compact10(key).astype(jnp.int32).astype(jnp.float32)
-        cy = _compact10(key >> 1).astype(jnp.int32).astype(jnp.float32)
-        cz = _compact10(key >> 2).astype(jnp.int32).astype(jnp.float32)
-        scale_q = qwindow / (1 << qbits)
-        px = (cx + (qmeans[0] + 0.5) * scale_q) * leaf + bmin[0]
-        py = (cy + (qmeans[1] + 0.5) * scale_q) * leaf + bmin[1]
-        pz = (cz + (qmeans[2] + 0.5) * scale_q) * leaf + bmin[2]
+        if exact_pos:
+            # ---- centroid = exact segmented f32 mean ---------------------
+            px, py, pz = qmeans
+        else:
+            # ---- centroid reconstruction from key + mean residual -------
+            cx = _compact10(key).astype(jnp.int32).astype(jnp.float32)
+            cy = _compact10(key >> 1).astype(jnp.int32).astype(jnp.float32)
+            cz = _compact10(key >> 2).astype(jnp.int32).astype(jnp.float32)
+            scale_q = qwindow / (1 << qbits)
+            px = (cx + (qmeans[0] + 0.5) * scale_q) * leaf + bmin[0]
+            py = (cy + (qmeans[1] + 0.5) * scale_q) * leaf + bmin[1]
+            pz = (cz + (qmeans[2] + 0.5) * scale_q) * leaf + bmin[2]
 
         # ---- prefix compaction of first rows -----------------------------
         kf = first.astype(jnp.float32)
@@ -305,14 +322,23 @@ def fused_sorted_voxel_reduce(skey: jnp.ndarray, sword: jnp.ndarray,
                               leaf_size: float, mode_bits: int,
                               fields: tuple, qbits: int, qwindow: float,
                               tile_len: int, semantics: str = "floor",
-                              interpret: bool = None):
+                              interpret: bool = None,
+                              spos: tuple = None):
     """All post-sort voxel work in one blockwise kernel.  Returns
     ``(pos_x, pos_y, pos_z, out_word, per_block_counts)`` with each 64K
     block's voxels compacted to its front (merge with
-    ops.compact._merge_tiles).  Requires: single-u32-key quantized path,
-    every payload packed into ``sword`` (mode value in the top
-    ``mode_bits``), and ``tile_len`` dividing the 64K block."""
+    ops.compact._merge_tiles).  Requires: single-u32-key path, every
+    non-position payload packed into ``sword`` (mode value in the top
+    ``mode_bits``), and ``tile_len`` dividing the 64K block.
+
+    Positions: either ``sqword`` (packed q-bit residual word — the
+    quantized fast path) or ``spos=(px, py, pz)`` sorted f32 operands (the
+    EXACT path: centroids are block-local segmented f32 means, no
+    quantization); pass exactly one of the two (the other ``None``)."""
     interpret = _auto_interpret(interpret)
+    exact_pos = spos is not None
+    assert (sqword is None) == exact_pos, \
+        "pass exactly one of sqword / spos"
     n = skey.shape[0]
     assert n % REDUCE_BLOCK == 0 and REDUCE_BLOCK % tile_len == 0
     grid = (n // REDUCE_BLOCK,)
@@ -323,12 +349,15 @@ def fused_sorted_voxel_reduce(skey: jnp.ndarray, sword: jnp.ndarray,
         jnp.asarray([leaf_size], jnp.float32),
     ])
     block = pl.BlockSpec((_BLOCK_ROWS, _LANES), lambda i: (i, 0))
-    shaped = [x.reshape(rows_total, _LANES) for x in (skey, sword, sqword)]
+    ins = (skey, sword) + (tuple(spos) if exact_pos else (sqword,))
+    shaped = [x.reshape(rows_total, _LANES) for x in ins]
 
     outs = pl.pallas_call(
-        _make_kernel(mode_bits, fields, qbits, qwindow, tile_len),
+        _make_kernel(mode_bits, fields, qbits, qwindow, tile_len,
+                     exact_pos=exact_pos),
         grid=grid,
-        in_specs=[block, block, block, pl.BlockSpec((4,), lambda i: (0,))],
+        in_specs=[block] * len(shaped)
+        + [pl.BlockSpec((4,), lambda i: (0,))],
         out_specs=[block, block, block, block,
                    pl.BlockSpec((grid[0], 1), lambda i: (0, 0),
                                 memory_space=pltpu.SMEM)],
@@ -339,5 +368,5 @@ def fused_sorted_voxel_reduce(skey: jnp.ndarray, sword: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(shaped[0], shaped[1], shaped[2], params)
+    )(*shaped, params)
     return ([o.reshape(-1) for o in outs[:4]], outs[4][:, 0])

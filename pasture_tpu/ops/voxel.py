@@ -210,10 +210,19 @@ def voxel_downsample(batch: PointBatch, leaf_size,
     position decode entirely (the batch need not even carry a position
     column; centroids are reconstructed from key + mean residual).
     Requires the quantized path and explicit ``bounds``.
+    ``precomputed=(morton_keys, None)`` is the EXACT variant (paired with
+    kernels fused_decode_transform_key): keys are taken as given, the
+    batch's position column rides the sort as f32 operands, and centroids
+    are exact segmented means.  Requires ``grid_bits <= 10`` and explicit
+    ``bounds`` (the keys' grid anchor).
     """
     pre = precomputed is not None
+    pre_exact = pre and precomputed[1] is None
     if pre:
-        if position_quantization_bits is None or grid_bits > 10:
+        if grid_bits > 10:
+            raise ValueError("precomputed keys require grid_bits <= 10 "
+                             "(single-u32 Morton keys)")
+        if not pre_exact and position_quantization_bits is None:
             raise ValueError("precomputed (keys, qword) requires the "
                              "quantized path: position_quantization_bits "
                              "set and grid_bits <= 10")
@@ -221,7 +230,10 @@ def voxel_downsample(batch: PointBatch, leaf_size,
             raise ValueError("precomputed keys require explicit bounds "
                              "(the grid anchor, for centroid "
                              "reconstruction)")
-    if position_attribute not in batch.data and not pre:
+        if pre_exact and position_attribute not in batch.data:
+            raise ValueError("precomputed (keys, None) requires the batch "
+                             "to carry the position column")
+    if position_attribute not in batch.data and not (pre and not pre_exact):
         raise ValueError(
             f"batch has no {position_attribute!r} attribute, required for "
             f"voxel grid construction")
@@ -257,7 +269,7 @@ def voxel_downsample(batch: PointBatch, leaf_size,
         pkeys, qword = precomputed
         keys = [jnp.where(mask, pkeys, _INVALID_KEY)]
         nk = 1
-        quantize_pos = True
+        quantize_pos = not pre_exact
         cells = None
     else:
         cells = voxel_indices(pos, mask, leaf_size, bmin, semantics,
@@ -367,9 +379,17 @@ def voxel_downsample(batch: PointBatch, leaf_size,
     from .compact import _merge_tiles
     tile_len = cap // sort_tiles
     _scalar_leaf = jnp.ndim(leaf_size) == 0
+    # exact-position variant: the three f32 position components are the
+    # ONLY loose sort operands; centroids become block-local segmented
+    # f32 means inside the kernel (no quantization anywhere)
+    exact_pos_fused = (
+        not quantize_pos and pos is not None and pdt == jnp.float32
+        and len(loose_idx) == 3
+        and all(flat_names[i] == position_attribute for i in loose_idx)
+        and policy_of(position_attribute, pos) == "mean")
     use_fused_reduce = (
-        quantize_pos and nk == 1 and packed_word is not None
-        and not loose_idx and _scalar_leaf
+        (quantize_pos and not loose_idx or exact_pos_fused)
+        and nk == 1 and packed_word is not None and _scalar_leaf
         and all(policy_of(flat_names[i], batch.data[flat_names[i]])
                 == "mean" for i, _, _, _ in pack_plan)
         and set(mode_names) <= ({fused_mode} if fused_mode else set())
@@ -385,9 +405,18 @@ def voxel_downsample(batch: PointBatch, leaf_size,
              bool(jnp.issubdtype(jnp.dtype(dt_), jnp.signedinteger)),
              int(jnp.iinfo(dt_).min), int(jnp.iinfo(dt_).max))
             for _, shift, w, dt_ in pack_plan)
-        streams, cnts = fused_sorted_voxel_reduce(
-            skeys[0], sword, sqword, bmin.astype(jnp.float32), leaf_size,
-            mode_bits, fields, qbits, qwindow, tile_len, semantics)
+        if exact_pos_fused:
+            base = nk + len(extra_keys)
+            spos = tuple(sorted_all[base + j] for j in range(3))
+            streams, cnts = fused_sorted_voxel_reduce(
+                skeys[0], sword, None, bmin.astype(jnp.float32), leaf_size,
+                mode_bits, fields, 0, qwindow, tile_len, semantics,
+                spos=spos)
+        else:
+            streams, cnts = fused_sorted_voxel_reduce(
+                skeys[0], sword, sqword, bmin.astype(jnp.float32),
+                leaf_size, mode_bits, fields, qbits, qwindow, tile_len,
+                semantics)
         blocks = cap // REDUCE_BLOCK
         merged, num_voxels = _merge_tiles(
             [s.reshape(blocks, REDUCE_BLOCK) for s in streams], cnts,

@@ -218,3 +218,89 @@ def test_fused_world_bounds_matches_numpy(rng):
     world = (local.astype(np.float32) * scale) @ rot.T + trans
     np.testing.assert_allclose(np.asarray(mn), world.min(0), atol=1e-3)
     np.testing.assert_allclose(np.asarray(mx), world.max(0), atol=1e-3)
+
+
+def test_fused_sorted_voxel_reduce_exact_positions(rng):
+    """The EXACT fused path (positions ride the sort as f32 operands, no
+    quantization) must reproduce the generic exact pipeline bit-for-bit up
+    to f32 reduction order."""
+    import jax.numpy as jnp
+    from pasture_tpu.buffers.device import PointBatch
+    from pasture_tpu.layout import attributes as att
+    from pasture_tpu.layout.schema import PointSchema
+    from pasture_tpu.ops import voxel_downsample
+    from pasture_tpu.ops import voxel as voxel_mod
+    from pasture_tpu.ops.kernels.voxel_reduce_kernel import REDUCE_BLOCK
+
+    n = REDUCE_BLOCK
+    tiles = 16
+    l = n // tiles
+    pos = np.concatenate([np.stack([
+        rng.uniform(4 * i, 4 * i + 4, l), rng.uniform(0, 64, l),
+        rng.uniform(0, 64, l)], axis=1) for i in range(tiles)]
+    ).astype(np.float32)
+    inten = rng.integers(0, 65536, n).astype(np.uint16)
+    cls = rng.integers(0, 32, n).astype(np.uint8)
+    schema = PointSchema.from_attributes(
+        [att.POSITION_3D, att.INTENSITY, att.CLASSIFICATION])
+    data = {att.POSITION_3D.name: jnp.asarray(pos),
+            att.INTENSITY.name: jnp.asarray(inten),
+            att.CLASSIFICATION.name: jnp.asarray(cls)}
+    count = n - 777
+    batch = PointBatch(data, jnp.asarray(count, jnp.int32), schema, {})
+    bounds = (jnp.zeros(3, jnp.float32), None)
+
+    def run():
+        # NO position_quantization_bits: the exact configuration
+        return voxel_downsample(batch, 2.0, bounds=bounds,
+                                semantics="floor", grid_bits=10,
+                                sort_tiles=tiles)
+
+    want = run()
+    voxel_mod._FORCE_FUSED_REDUCE = True
+    try:
+        got = run()
+    finally:
+        voxel_mod._FORCE_FUSED_REDUCE = None
+    assert int(want.count) == int(got.count)
+    nv = int(want.count)
+    for name in data:
+        np.testing.assert_allclose(
+            np.asarray(want.data[name])[:nv],
+            np.asarray(got.data[name])[:nv], rtol=1e-6, atol=1e-4,
+            err_msg=name)
+
+
+def test_precomputed_exact_keys(rng):
+    """voxel_downsample(precomputed=(keys, None)): given keys + the batch's
+    own position column, results match computing keys internally."""
+    import jax.numpy as jnp
+    from pasture_tpu.buffers.device import PointBatch
+    from pasture_tpu.layout import attributes as att
+    from pasture_tpu.layout.schema import PointSchema
+    from pasture_tpu.ops import voxel_downsample
+    from pasture_tpu.ops.voxel import voxel_indices, _keys
+
+    n = 4096
+    pos = rng.uniform(0, 64, (n, 3)).astype(np.float32)
+    inten = rng.integers(0, 65536, n).astype(np.uint16)
+    schema = PointSchema.from_attributes([att.POSITION_3D, att.INTENSITY])
+    data = {att.POSITION_3D.name: jnp.asarray(pos),
+            att.INTENSITY.name: jnp.asarray(inten)}
+    batch = PointBatch(data, jnp.asarray(n, jnp.int32), schema, {})
+    bmin = jnp.zeros(3, jnp.float32)
+
+    want = voxel_downsample(batch, 2.0, bounds=(bmin, None),
+                            semantics="floor", grid_bits=10)
+    cells = voxel_indices(batch.data[att.POSITION_3D.name],
+                          batch.valid_mask(), 2.0, bmin, "floor", 10)
+    keys = _keys(cells, batch.valid_mask(), 10)[0]
+    got = voxel_downsample(batch, 2.0, bounds=(bmin, None),
+                           semantics="floor", grid_bits=10,
+                           precomputed=(keys, None))
+    assert int(want.count) == int(got.count)
+    nv = int(want.count)
+    for name in data:
+        np.testing.assert_allclose(np.asarray(want.data[name])[:nv],
+                                   np.asarray(got.data[name])[:nv],
+                                   rtol=1e-6, atol=1e-5, err_msg=name)
