@@ -261,3 +261,51 @@ def test_reproject_point_cloud_within(rng):
     out = buf.get(att.POSITION_3D.name)
     assert np.all(out[:, 0] > 100000) and np.all(out[:, 0] < 900000)
     assert np.all(out[:, 1] > 4000000)
+
+
+def test_normals_morton_window_matches_exact(rng):
+    """The O(N·window) Morton-window path agrees with the exact O(N²)
+    path on a smooth surface: normals within a few degrees, curvature
+    close (neighbour sets may differ slightly at cell boundaries)."""
+    n = 4000
+    xy = rng.uniform(-10, 10, (n, 2))
+    z = 0.4 * np.sin(xy[:, 0] * 0.7) + 0.3 * np.cos(xy[:, 1] * 0.5)
+    pos = np.stack([xy[:, 0], xy[:, 1], z], axis=1)
+    schema = PointSchema.from_attributes([att.POSITION_3D])
+    buf = HostPointBuffer.from_columns(schema, {att.POSITION_3D.name: pos})
+
+    n_exact, c_exact = compute_normals(buf, 12, method="exact")
+    n_win, c_win = compute_normals(buf, 12, method="morton", window=48)
+
+    # unoriented normals: compare |cos(angle)|
+    cos = np.abs(np.sum(n_exact * n_win, axis=1))
+    frac_close = float((cos > 0.995).mean())   # within ~5.7 degrees
+    assert frac_close > 0.95, frac_close
+    assert float(np.median(np.abs(c_exact - c_win))) < 0.01
+
+
+def test_normals_morton_window_plane(rng):
+    """Known plane: Morton-window normals recover the plane normal."""
+    n = 3000
+    xy = rng.uniform(0, 20, (n, 2))
+    z = 0.3 * xy[:, 0] - 0.1 * xy[:, 1] + 2.0
+    pos = np.stack([xy[:, 0], xy[:, 1], z], axis=1)
+    true_n = np.array([-0.3, 0.1, 1.0])
+    true_n /= np.linalg.norm(true_n)
+    schema = PointSchema.from_attributes([att.POSITION_3D])
+    buf = HostPointBuffer.from_columns(schema, {att.POSITION_3D.name: pos})
+    normals, curvature = compute_normals(buf, 10, method="morton",
+                                         window=32)
+    cos = np.abs(normals @ true_n)
+    assert float((cos > 0.999).mean()) > 0.98
+    assert float(np.median(curvature)) < 1e-4
+
+
+def test_normals_method_validation(rng):
+    pos = rng.uniform(0, 1, (100, 3))
+    schema = PointSchema.from_attributes([att.POSITION_3D])
+    buf = HostPointBuffer.from_columns(schema, {att.POSITION_3D.name: pos})
+    with pytest.raises(ValueError, match="unknown method"):
+        compute_normals(buf, 5, method="kdtree")
+    with pytest.raises(ValueError, match="window"):
+        compute_normals(buf, 10, method="morton", window=4)
