@@ -109,6 +109,74 @@ def _normals_device(pos: jnp.ndarray, valid: jnp.ndarray, k: int,
     return normal, curvature
 
 
+def window_fit(sp: jnp.ndarray, pp: jnp.ndarray, k: int, w: int):
+    """Plane-fit each row of ``sp`` (N, 3) against the ±``w`` window of the
+    PADDED Morton-sorted array ``pp`` ((N + 2w, 3); row ``i`` of ``sp``
+    aligns with row ``i + w`` of ``pp``; non-candidate rows are ``inf``).
+
+    The k nearest of the 2w+1 window candidates are selected by a per-row
+    distance threshold; neighbourhood mean/covariance accumulate
+    shift-wise — every access is a static slice, no gathers.  Returns
+    ``(normal (N, 3), curvature (N,), tightness (N,) = mean selected
+    d²)``.  Shared by :func:`_morton_window_normals` (inf padding) and
+    the distributed per-shard path (halo rows as padding —
+    pasture_tpu.parallel.distributed_normals)."""
+    n = sp.shape[0]
+    dtype = sp.dtype
+    big = jnp.asarray(jnp.inf, dtype)
+    shifts = list(range(-w, w + 1))
+
+    d2_cols = []
+    for s in shifts:
+        q = jax.lax.dynamic_slice_in_dim(pp, w + s, n, axis=0)
+        d = sp - q
+        d2 = jnp.sum(d * d, axis=1)
+        d2_cols.append(jnp.where(jnp.isfinite(d2), d2, big))
+    d2m = jnp.stack(d2_cols, axis=1)                   # (N, 2w+1)
+
+    # per-row k-th smallest distance = selection threshold (ties may
+    # admit a few extras; the count rides into the denominators)
+    kth = -jax.lax.top_k(-d2m, k)[0][:, k - 1]
+    thr = jnp.where(jnp.isfinite(kth), kth, big)
+
+    cnt = jnp.zeros(n, dtype)
+    mean = jnp.zeros((n, 3), dtype)
+    tight = jnp.zeros(n, dtype)
+    # covariance second moments: xx, yy, zz, xy, xz, yz
+    m2 = [jnp.zeros(n, dtype) for _ in range(6)]
+    for j, s in enumerate(shifts):
+        q = jax.lax.dynamic_slice_in_dim(pp, w + s, n, axis=0)
+        sel = (d2m[:, j] <= thr) & jnp.isfinite(q[:, 0])
+        f = sel.astype(dtype)
+        cnt = cnt + f
+        tight = tight + jnp.where(sel, d2m[:, j], 0.0)
+        qz = jnp.where(sel[:, None], q, 0.0)
+        mean = mean + qz
+        m2[0] = m2[0] + qz[:, 0] * qz[:, 0]
+        m2[1] = m2[1] + qz[:, 1] * qz[:, 1]
+        m2[2] = m2[2] + qz[:, 2] * qz[:, 2]
+        m2[3] = m2[3] + qz[:, 0] * qz[:, 1]
+        m2[4] = m2[4] + qz[:, 0] * qz[:, 2]
+        m2[5] = m2[5] + qz[:, 1] * qz[:, 2]
+    c = jnp.maximum(cnt, 1.0)
+    mu = mean / c[:, None]
+    tight = tight / c
+    xx = m2[0] / c - mu[:, 0] * mu[:, 0]
+    yy = m2[1] / c - mu[:, 1] * mu[:, 1]
+    zz = m2[2] / c - mu[:, 2] * mu[:, 2]
+    xy = m2[3] / c - mu[:, 0] * mu[:, 1]
+    xz = m2[4] / c - mu[:, 0] * mu[:, 2]
+    yz = m2[5] / c - mu[:, 1] * mu[:, 2]
+    cov = jnp.stack([
+        jnp.stack([xx, xy, xz], axis=-1),
+        jnp.stack([xy, yy, yz], axis=-1),
+        jnp.stack([xz, yz, zz], axis=-1)], axis=-2)
+    lam0, normal = _eigh3_smallest(cov)
+    tr = jnp.trace(cov, axis1=-2, axis2=-1)
+    curvature = jnp.where(tr != 0.0, jnp.abs(lam0 / tr), 0.0)
+    return normal, curvature, tight
+
+
 def _morton_window_normals(pos: jnp.ndarray, valid: jnp.ndarray, k: int,
                            window: int):
     """Scalable approximate normals: Morton-window k-NN with ZERO gathers.
@@ -171,55 +239,7 @@ def _morton_window_normals(pos: jnp.ndarray, valid: jnp.ndarray, k: int,
         pad_row = jnp.full((w, 3), jnp.inf, dtype)
         pp = jnp.concatenate(
             [pad_row, jnp.where(svalid[:, None], sp, jnp.inf), pad_row])
-
-        d2_cols = []
-        for s in shifts:
-            q = jax.lax.dynamic_slice_in_dim(pp, w + s, n, axis=0)
-            d = sp - q
-            d2 = jnp.sum(d * d, axis=1)
-            d2_cols.append(jnp.where(jnp.isfinite(d2), d2, big))
-        d2m = jnp.stack(d2_cols, axis=1)                   # (N, 2w+1)
-
-        # per-row k-th smallest distance = selection threshold (ties may
-        # admit a few extras; the count rides into the denominators)
-        kth = -jax.lax.top_k(-d2m, k)[0][:, k - 1]
-        thr = jnp.where(jnp.isfinite(kth), kth, big)
-
-        cnt = jnp.zeros(n, dtype)
-        mean = jnp.zeros((n, 3), dtype)
-        tight = jnp.zeros(n, dtype)
-        # covariance second moments: xx, yy, zz, xy, xz, yz
-        m2 = [jnp.zeros(n, dtype) for _ in range(6)]
-        for j, s in enumerate(shifts):
-            q = jax.lax.dynamic_slice_in_dim(pp, w + s, n, axis=0)
-            sel = (d2m[:, j] <= thr) & jnp.isfinite(q[:, 0])
-            f = sel.astype(dtype)
-            cnt = cnt + f
-            tight = tight + jnp.where(sel, d2m[:, j], 0.0)
-            qz = jnp.where(sel[:, None], q, 0.0)
-            mean = mean + qz
-            m2[0] = m2[0] + qz[:, 0] * qz[:, 0]
-            m2[1] = m2[1] + qz[:, 1] * qz[:, 1]
-            m2[2] = m2[2] + qz[:, 2] * qz[:, 2]
-            m2[3] = m2[3] + qz[:, 0] * qz[:, 1]
-            m2[4] = m2[4] + qz[:, 0] * qz[:, 2]
-            m2[5] = m2[5] + qz[:, 1] * qz[:, 2]
-        c = jnp.maximum(cnt, 1.0)
-        mu = mean / c[:, None]
-        tight = tight / c
-        xx = m2[0] / c - mu[:, 0] * mu[:, 0]
-        yy = m2[1] / c - mu[:, 1] * mu[:, 1]
-        zz = m2[2] / c - mu[:, 2] * mu[:, 2]
-        xy = m2[3] / c - mu[:, 0] * mu[:, 1]
-        xz = m2[4] / c - mu[:, 0] * mu[:, 2]
-        yz = m2[5] / c - mu[:, 1] * mu[:, 2]
-        cov = jnp.stack([
-            jnp.stack([xx, xy, xz], axis=-1),
-            jnp.stack([xy, yy, yz], axis=-1),
-            jnp.stack([xz, yz, zz], axis=-1)], axis=-2)
-        lam0, normal = _eigh3_smallest(cov)
-        tr = jnp.trace(cov, axis1=-2, axis2=-1)
-        curvature = jnp.where(tr != 0.0, jnp.abs(lam0 / tr), 0.0)
+        normal, curvature, tight = window_fit(sp, pp, k, w)
 
         # back to input order: sort by the carried original index, carrying
         # the results (gathers lower to element loops on this backend)

@@ -10,7 +10,8 @@ collectives (psum) instead of any NCCL/MPI analog.
 """
 
 from .mesh import make_mesh, batch_sharding, shard_batch  # noqa: F401
-from .ops import sharded_bounds, sharded_voxel_downsample  # noqa: F401
+from .ops import sharded_bounds, sharded_voxel_downsample, \
+    distributed_normals  # noqa: F401
 from .partition import morton_partition, MortonPartitionSpec  # noqa: F401
 from .distributed import distributed_icp, distributed_icp_partitioned, \
     distributed_pose_graph  # noqa: F401

@@ -30,9 +30,12 @@ from ..buffers.device import PointBatch
 from ..layout import attributes as att
 from ..ops.reductions import batch_bounds
 from ..ops.voxel import voxel_downsample
+from .halo import halo_exchange_local
 from .mesh import POINTS_AXIS, batch_sharding
+from .partition import morton_partition
 
-__all__ = ["sharded_bounds", "sharded_voxel_downsample"]
+__all__ = ["sharded_bounds", "sharded_voxel_downsample",
+           "distributed_normals"]
 
 
 def sharded_bounds(batch: PointBatch, mesh: Mesh,
@@ -105,3 +108,59 @@ def sharded_voxel_downsample(batch: PointBatch, mesh: Mesh, leaf_size,
         batch.data, per_shard_counts.astype(jnp.int32), batch.meta)
     total = jnp.sum(counts).astype(jnp.int32)
     return PointBatch(out_data, total, batch.schema, batch.meta), counts
+
+
+def distributed_normals(batch: PointBatch, mesh: Mesh, k: int,
+                        window: int = 64,
+                        axis: str = POINTS_AXIS,
+                        capacity_factor: float = 2.0):
+    """Normals + curvature over a mesh-sharded cloud — halo-windowed.
+
+    Morton-partitions the cloud (per-shard blocks SORTED by Morton key,
+    :func:`~pasture_tpu.parallel.morton_partition` ``sort_local``), then
+    fits each shard's points against its sorted block padded with the
+    ring neighbours' ``window`` boundary rows
+    (:func:`~pasture_tpu.parallel.halo_exchange_local`) — the per-shard
+    twin of :func:`pasture_tpu.algorithms.compute_normals`
+    ``method="morton"``, with the halo standing in for the global curve's
+    continuation across shard boundaries.  Single curve (the partition's);
+    accuracy matches the single-device Morton path's documented envelope.
+
+    Returns ``(part, normals, curvature, counts, dropped)``: ``part`` is
+    the partitioned position batch the results align with (row i of shard
+    d describes part's row i of shard d; rows beyond ``counts[d]`` are
+    garbage), ``normals``/``curvature`` sharded over ``axis``.
+    """
+    from ..algorithms.normals import window_fit
+
+    pos_name = att.POSITION_3D.name
+    pos_only = PointBatch({pos_name: batch.data[pos_name]}, batch.count,
+                          batch.schema, {})
+    part, counts, dropped = morton_partition(
+        pos_only, mesh, axis, capacity_factor, sort_local=True)
+    n_shards = mesh.shape[axis]
+    w = window
+    dtype = part.data[pos_name].dtype
+
+    def shard_fn(pos_s, cnt):
+        per = pos_s.shape[0]
+        valid = jnp.arange(per, dtype=jnp.int32) < cnt[0]
+        halo_cols, halo_counts = halo_exchange_local(
+            {pos_name: pos_s}, cnt[0], n_shards, w, axis)
+        halo_pos = halo_cols[pos_name]                 # (2w, 3)
+        hidx = jnp.arange(w, dtype=jnp.int32)
+        left = jnp.where((hidx < halo_counts[0])[:, None],
+                         halo_pos[:w], jnp.inf)
+        right = jnp.where((hidx < halo_counts[1])[:, None],
+                          halo_pos[w:], jnp.inf)
+        sp = jnp.where(valid[:, None], pos_s, jnp.inf).astype(dtype)
+        pp = jnp.concatenate([left.astype(dtype), sp, right.astype(dtype)])
+        normal, curvature, _ = window_fit(sp, pp, k, w)
+        return normal, curvature
+
+    normals, curvature = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=(P(axis, None), P(axis)),
+        check_vma=False)(part.data[pos_name], counts.astype(jnp.int32))
+    return part, normals, curvature, counts, dropped

@@ -111,7 +111,14 @@ def morton_partition(batch: PointBatch, mesh: Mesh,
             lmin, lmax = batch_bounds(pos, mask)
             gmin = jax.lax.pmin(lmin, axis)
             gmax = jax.lax.pmax(lmax, axis)
-            extent = jnp.maximum(gmax - gmin, 1e-9)
+            # ISOTROPIC cells (same metres-per-cell on every axis):
+            # per-axis normalisation would stretch a thin axis (e.g. a
+            # survey's z) across the full cell range, shredding the
+            # curve's spatial locality — the property every consumer
+            # (halo neighbourhoods, tiled voxel sorts, window k-NN)
+            # relies on.  Equal-mass splitters are unaffected.
+            extent = jnp.broadcast_to(
+                jnp.maximum(jnp.max(gmax - gmin), 1e-9), (3,))
 
             bucket, (hi, lo) = _morton_hi_bucket(pos, mask, gmin, extent,
                                                  axis)

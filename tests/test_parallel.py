@@ -80,6 +80,7 @@ def test_morton_partition_preserves_and_orders(mesh, rng):
     per = out.capacity // N_DEV
     src = host.get(att.POSITION_3D.name)
     gmin, gmax = src.min(0), src.max(0)
+    iso = np.maximum((gmax - gmin).max(), 1e-9)  # isotropic cells
     key_ranges = []
     collected = []
     for d in range(N_DEV):
@@ -87,7 +88,7 @@ def test_morton_partition_preserves_and_orders(mesh, rng):
         collected.append(shard_pos)
         if counts[d] == 0:
             continue
-        cell = np.clip((shard_pos - gmin) / np.maximum(gmax - gmin, 1e-9)
+        cell = np.clip((shard_pos - gmin) / iso
                        * (1 << 20), 0, (1 << 20) - 1).astype(np.uint64)
         keys = morton_encode_u64(cell[:, 0], cell[:, 1], cell[:, 2])
         key_ranges.append((keys.min(), keys.max(), d))
@@ -229,3 +230,42 @@ def test_distributed_pose_graph_cg_matches_dense(mesh, rng):
                                np.asarray(dense.translations), atol=1e-6)
     np.testing.assert_allclose(np.asarray(costs_s), np.asarray(costs_d),
                                rtol=1e-6, atol=1e-10)
+
+
+def test_distributed_normals_matches_exact(mesh, rng):
+    """Halo-windowed per-shard normals: each shard's Morton block padded
+    with ring-neighbour boundary rows must reproduce the exact normals
+    within the Morton-window quality envelope."""
+    from pasture_tpu.parallel import distributed_normals
+    from pasture_tpu.algorithms import compute_normals
+
+    n = 4096
+    xy = rng.uniform(-10, 10, (n, 2))
+    z = 0.4 * np.sin(xy[:, 0] * 0.7) + 0.3 * np.cos(xy[:, 1] * 0.5)
+    pos = np.stack([xy[:, 0], xy[:, 1], z], axis=1)
+    schema = PointSchema.from_attributes([att.POSITION_3D])
+    buf = HostPointBuffer.from_columns(schema, {att.POSITION_3D.name: pos})
+    n_exact, _ = compute_normals(buf, 12, method="exact")
+
+    sharded = _to_sharded(pos, mesh)
+    part, normals, curvature, counts, dropped = distributed_normals(
+        sharded, mesh, 12, window=48, capacity_factor=4.0)
+    assert int(np.asarray(dropped).sum()) == 0
+    counts = np.asarray(counts)
+    per = part.capacity // N_DEV
+    ppos = np.asarray(part.data[att.POSITION_3D.name])
+    pnrm = np.asarray(normals)
+
+    # align partitioned results with the original order by position match
+    got_pos, got_nrm = [], []
+    for d in range(N_DEV):
+        got_pos.append(ppos[d * per: d * per + counts[d]])
+        got_nrm.append(pnrm[d * per: d * per + counts[d]])
+    got_pos = np.concatenate(got_pos)
+    got_nrm = np.concatenate(got_nrm)
+    o1 = np.lexsort(got_pos.T)
+    o2 = np.lexsort(pos.T)
+    np.testing.assert_allclose(got_pos[o1], pos[o2], atol=1e-12)
+    cos = np.abs(np.sum(got_nrm[o1] * n_exact[o2], axis=1))
+    deg = np.degrees(np.arccos(np.clip(cos, 0, 1)))
+    assert float((deg < 10).mean()) > 0.97, (deg < 10).mean()
