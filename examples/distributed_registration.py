@@ -16,6 +16,8 @@ from pasture_tpu.layout import attributes as att
 from pasture_tpu.layout.schema import PointSchema
 from pasture_tpu.parallel import (
     distributed_icp,
+    distributed_icp_partitioned,
+    distributed_normals,
     make_mesh,
     morton_partition,
     shard_batch,
@@ -48,13 +50,32 @@ def main():
     print("voxels per device:", np.asarray(vcounts),
           "total:", int(np.asarray(vox.count)))
 
-    # scan-to-map ICP: same cloud shifted
+    # scan-to-map ICP, replicated map: same cloud shifted
     target = jnp.asarray(pos, jnp.float32)
     source = target - jnp.asarray([0.4, -0.2, 0.1], jnp.float32)
     result = distributed_icp(source, target, mesh,
                              max_correspondence_distance=2.0, iterations=10)
     print("recovered translation:", np.round(np.asarray(result.translation), 4),
           "rmse:", float(result.rmse))
+
+    # scan-to-map ICP with the map PARTITIONED (never replicated): the
+    # scan co-partitions with the map's Morton splitters and matches
+    # against local block + ring-neighbour halo rows
+    src_host = HostPointBuffer.from_columns(
+        schema, {att.POSITION_3D.name: np.asarray(source)})
+    src_batch = shard_batch(PointBatch.from_host(src_host, capacity=n), mesh)
+    result_p, dropped_p = distributed_icp_partitioned(
+        src_batch, batch, mesh, halo=256, capacity_factor=4.0,
+        max_correspondence_distance=2.0, iterations=10)
+    assert int(dropped_p) == 0
+    print("partitioned-map translation:",
+          np.round(np.asarray(result_p.translation), 4))
+
+    # halo-windowed normals over the partitioned cloud
+    part2, normals, curvature, ncounts, ndropped = distributed_normals(
+        batch, mesh, k=10, window=32, capacity_factor=4.0)
+    assert int(np.asarray(ndropped).sum()) == 0
+    print("normals computed per device:", np.asarray(ncounts))
 
 
 if __name__ == "__main__":
