@@ -105,7 +105,10 @@ def distributed_icp_partitioned(
         max_correspondence_distance: float = 1.0,
         iterations: int = 20,
         damping: float = 1e-6,
-        tile: int = 2048) -> Tuple[IcpResult, jnp.ndarray]:
+        tile: int = 2048,
+        point_to_plane: bool = False,
+        normals_k: int = 10,
+        normals_window: int = 32) -> Tuple[IcpResult, jnp.ndarray]:
     """Scan-to-map ICP with BOTH clouds Morton-partitioned over the mesh.
 
     Unlike :func:`distributed_icp` (replicated target), the target map is
@@ -127,10 +130,20 @@ def distributed_icp_partitioned(
     ring-local for smooth clouds); the initial pose error must also stay
     within the halo margin, as partitioning happens once, up front.
 
+    ``point_to_plane``: minimise the along-normal residual instead of the
+    full point distance.  Target normals are fitted PER SHARD on the
+    sorted local map block padded with ring-halo boundary rows (the
+    zero-gather window fit of
+    :func:`pasture_tpu.algorithms.normals.window_fit`, ``normals_k`` /
+    ``normals_window``), and the correspondence halo ships each boundary
+    row's home-shard normal alongside its position — the complete
+    production scan-to-map path with nothing replicated.
+
     Returns ``(IcpResult, dropped)`` where ``dropped`` is the summed
     overflow count of both partitioning steps — callers must check it is
     zero (raise ``capacity_factor`` otherwise).
     """
+    from ..algorithms.normals import window_fit
     pos_name = att.POSITION_3D.name
 
     def pos_only(b: PointBatch) -> PointBatch:
@@ -153,14 +166,36 @@ def distributed_icp_partitioned(
         s_valid = jnp.arange(src.shape[0], dtype=jnp.int32) < s_cnt[0]
         t_valid = jnp.arange(tgt.shape[0], dtype=jnp.int32) < t_cnt[0]
 
-        # ring exchange of the map block's boundary slabs — the halo rows
-        # this shard's correspondences may need beyond its own block
+        if point_to_plane:
+            # per-shard target normals: sorted local block + ring-halo
+            # rows as the window padding (same fit as distributed_normals)
+            wn = normals_window
+            npad_cols, npad_counts = halo_exchange_local(
+                {pos_name: tgt}, t_cnt[0], n_shards, wn, axis)
+            nidx = jnp.arange(wn, dtype=jnp.int32)
+            nleft = jnp.where((nidx < npad_counts[0])[:, None],
+                              npad_cols[pos_name][:wn], jnp.inf)
+            nright = jnp.where((nidx < npad_counts[1])[:, None],
+                               npad_cols[pos_name][wn:], jnp.inf)
+            sp = jnp.where(t_valid[:, None], tgt, jnp.inf)
+            pp = jnp.concatenate([nleft, sp, nright]).astype(dtype)
+            tgt_normals, _, _ = window_fit(sp.astype(dtype), pp,
+                                           normals_k, wn)
+        else:
+            tgt_normals = jnp.zeros_like(tgt)
+
+        # ring exchange of the map block's boundary slabs — positions AND
+        # their home-shard normals — the rows this shard's
+        # correspondences may need beyond its own block
         halo_cols, halo_counts = halo_exchange_local(
-            {pos_name: tgt}, t_cnt[0], n_shards, halo, axis)
+            {pos_name: tgt, "normal": tgt_normals}, t_cnt[0], n_shards,
+            halo, axis)
         hidx = jnp.arange(halo, dtype=jnp.int32)
         h_valid = jnp.concatenate([hidx < halo_counts[0],
                                    hidx < halo_counts[1]])
         full_t = jnp.concatenate([tgt, halo_cols[pos_name]], axis=0)
+        full_n = jnp.concatenate([tgt_normals, halo_cols["normal"]],
+                                 axis=0)
         full_valid = jnp.concatenate([t_valid, h_valid])
 
         def body(carry, _):
@@ -169,14 +204,25 @@ def distributed_icp_partitioned(
             nn_idx, d2 = nearest_neighbors(moved, full_t, full_valid, tile)
             w = (s_valid & (d2 < max_d2)).astype(dtype)
             d2c = jnp.where(w > 0, d2, 0.0)  # empty shards: d2 == inf
-            r = moved - full_t[nn_idx]
-            eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype),
-                                   (src.shape[0], 3, 3))
-            j = jnp.concatenate([eye, -skew(moved)], axis=2)
-            h = jnp.einsum("nai,naj,n->ij", j, jnp.where(
-                w[:, None, None] > 0, j, 0.0), w)
-            b = jnp.einsum("nai,na,n->i", j, jnp.where(
-                w[:, None] > 0, r, 0.0), w)
+            matched = full_t[nn_idx]
+            if point_to_plane:
+                nrm = full_n[nn_idx]
+                rr = jnp.sum(jnp.where(w[:, None] > 0, moved - matched,
+                                       0.0) * nrm, axis=1)       # (N,)
+                j = jnp.concatenate([nrm, jnp.cross(moved, nrm)],
+                                    axis=1)                       # (N, 6)
+                h = jnp.einsum("ni,nj,n->ij", j, jnp.where(
+                    w[:, None] > 0, j, 0.0), w)
+                b = jnp.einsum("ni,n,n->i", j, rr, w)
+            else:
+                r = moved - matched
+                eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype),
+                                       (src.shape[0], 3, 3))
+                j = jnp.concatenate([eye, -skew(moved)], axis=2)
+                h = jnp.einsum("nai,naj,n->ij", j, jnp.where(
+                    w[:, None, None] > 0, j, 0.0), w)
+                b = jnp.einsum("nai,na,n->i", j, jnp.where(
+                    w[:, None] > 0, r, 0.0), w)
             h = jax.lax.psum(h, axis)
             b = jax.lax.psum(b, axis)
             nin = jax.lax.psum(jnp.sum(w), axis)

@@ -269,3 +269,27 @@ def test_distributed_normals_matches_exact(mesh, rng):
     cos = np.abs(np.sum(got_nrm[o1] * n_exact[o2], axis=1))
     deg = np.degrees(np.arccos(np.clip(cos, 0, 1)))
     assert float((deg < 10).mean()) > 0.97, (deg < 10).mean()
+
+
+def test_distributed_icp_partitioned_point_to_plane(mesh, rng):
+    """Point-to-plane over a partitioned map: per-shard halo-window
+    target normals + halo rows shipping their home-shard normals.
+    Converges to the ground-truth transform on a smooth surface."""
+    from pasture_tpu.parallel import distributed_icp_partitioned
+
+    u = rng.uniform(-4, 4, (4096, 2))
+    z = 0.3 * np.sin(u[:, 0]) + 0.2 * np.cos(u[:, 1] * 1.3)
+    target = np.stack([u[:, 0], u[:, 1], z], axis=1)
+    t_true = np.array([0.05, -0.04, 0.08])
+    source = target - t_true
+
+    res, dropped = distributed_icp_partitioned(
+        _to_sharded(source, mesh), _to_sharded(target, mesh), mesh,
+        halo=256, capacity_factor=4.0,
+        max_correspondence_distance=2.0, iterations=10,
+        point_to_plane=True, normals_k=10, normals_window=48)
+    assert int(dropped) == 0
+    np.testing.assert_allclose(np.asarray(res.translation), t_true,
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(res.rotation), np.eye(3),
+                               atol=5e-3)
