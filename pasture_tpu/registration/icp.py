@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from .se3 import se3_exp, skew, transform_points
 
-__all__ = ["icp", "IcpResult", "nearest_neighbors"]
+__all__ = ["icp", "IcpResult", "nearest_neighbors", "morton_nearest_target"]
 
 
 @dataclasses.dataclass
@@ -63,6 +63,78 @@ def nearest_neighbors(query: jnp.ndarray, points: jnp.ndarray,
     return idx.reshape(-1)[:n], d2.reshape(-1)[:n]
 
 
+def morton_nearest_target(moved: jnp.ndarray, source_valid: jnp.ndarray,
+                          target: jnp.ndarray, target_valid: jnp.ndarray,
+                          bounds_min: jnp.ndarray, extent: jnp.ndarray,
+                          window: int
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Approximate nearest-target of each source point in O((N+M)·window).
+
+    The brute-force matmul correspondence is O(N·M) — prohibitive beyond
+    ~100k-point maps.  This path co-sorts BOTH clouds on one Morton curve
+    (isotropic 20-bit grid anchored at ``bounds_min``/``extent``) and, for
+    each source row, takes the best TARGET row within ±``window`` ranks —
+    running-min over static shifts, so there is not a single gather, and
+    the matched positions ride a second sort back to source order.
+
+    Returns ``(matched_positions (N, 3), sq_distances (N,))``; a source
+    point whose true nearest target falls outside the window gets a
+    farther match (weighted down or rejected by the caller's
+    max-correspondence gate) — same locality contract as the window
+    normals and the ring-halo distributed paths.
+    """
+    from ..math.morton import morton_encode_dual32
+
+    n, m = moved.shape[0], target.shape[0]
+    dtype = moved.dtype
+    big = jnp.asarray(jnp.inf, dtype)
+    inval = jnp.uint32(0xFFFFFFFF)
+
+    pos = jnp.concatenate([moved, target])
+    valid = jnp.concatenate([source_valid, target_valid])
+    is_src = jnp.concatenate([jnp.ones(n, bool), jnp.zeros(m, bool)])
+    # source rows carry their row id; target rows an out-of-range id that
+    # sorts them behind every source row in the un-sort
+    idx = jnp.concatenate([jnp.arange(n, dtype=jnp.uint32),
+                           jnp.full((m,), jnp.uint32(0x7FFFFFFF))])
+
+    iso = jnp.maximum(jnp.max(extent), 1e-9)
+    cell = jnp.clip((pos - bounds_min[None, :]) / iso * (1 << 20),
+                    0, (1 << 20) - 1).astype(jnp.uint32)
+    hi, lo = morton_encode_dual32(cell[:, 0], cell[:, 1], cell[:, 2])
+    hi = jnp.where(valid, hi, inval)
+    lo = jnp.where(valid, lo, inval)
+    flag = is_src.astype(jnp.uint32)
+    shi, _, sflag, sidx, sx, sy, sz = jax.lax.sort(
+        (hi, lo, flag, idx, pos[:, 0], pos[:, 1], pos[:, 2]), num_keys=2,
+        is_stable=False)
+    sp = jnp.stack([sx, sy, sz], axis=1)
+    svalid = shi != inval
+    cand_ok = svalid & (sflag == 0)          # valid TARGET rows only
+    cp = jnp.where(cand_ok[:, None], sp, jnp.inf)
+
+    w = window
+    pad = jnp.full((w, 3), jnp.inf, dtype)
+    cpp = jnp.concatenate([pad, cp, pad])
+
+    bestd2 = jnp.full((n + m,), big)
+    bpos = jnp.zeros((n + m, 3), dtype)
+    for s in range(-w, w + 1):
+        q = jax.lax.dynamic_slice_in_dim(cpp, w + s, n + m, axis=0)
+        d = sp - q
+        d2 = jnp.sum(d * d, axis=1)
+        d2 = jnp.where(jnp.isfinite(d2), d2, big)
+        better = d2 < bestd2
+        bestd2 = jnp.where(better, d2, bestd2)
+        bpos = jnp.where(better[:, None], q, bpos)
+
+    # back to source order: target rows' huge ids sort behind all sources
+    _, d2o, bx, by, bz = jax.lax.sort(
+        (sidx, bestd2, bpos[:, 0], bpos[:, 1], bpos[:, 2]), num_keys=1,
+        is_stable=False)
+    return jnp.stack([bx[:n], by[:n], bz[:n]], axis=1), d2o[:n]
+
+
 def _solve_gn(h: jnp.ndarray, b: jnp.ndarray, damping: float) -> jnp.ndarray:
     h = h + damping * jnp.eye(6, dtype=h.dtype)
     l = jnp.linalg.cholesky(h)
@@ -70,15 +142,13 @@ def _solve_gn(h: jnp.ndarray, b: jnp.ndarray, damping: float) -> jnp.ndarray:
     return jax.scipy.linalg.solve_triangular(l.T, y, lower=False)
 
 
-def _icp_step(source, source_valid, target, target_valid, target_normals,
-              rot, t, max_dist_sq, point_to_plane, tile, damping):
+def _icp_step(source, source_valid, corr_fn,
+              rot, t, max_dist_sq, point_to_plane, damping):
     moved = transform_points(rot, t, source)
-    idx, d2 = nearest_neighbors(moved, target, target_valid, tile)
+    matched, d2, nrm = corr_fn(moved)
     w = (source_valid & (d2 < max_dist_sq)).astype(source.dtype)
 
-    matched = target[idx]
     if point_to_plane:
-        nrm = target_normals[idx]
         r = jnp.sum((moved - matched) * nrm, axis=1)           # (N,)
         # J_i = [n_i^T, (p_i x n_i)^T] for twist [rho, phi]
         j = jnp.concatenate([nrm, jnp.cross(moved, nrm)], axis=1)  # (N, 6)
@@ -99,7 +169,8 @@ def _icp_step(source, source_valid, target, target_valid, target_normals,
     new_t = (d_rot @ t[:, None])[:, 0] + d_t
 
     nin = jnp.sum(w)
-    rmse = jnp.sqrt(jnp.sum(d2 * w) / jnp.maximum(nin, 1.0))
+    rmse = jnp.sqrt(jnp.sum(jnp.where(w > 0, d2, 0.0) * w)
+                    / jnp.maximum(nin, 1.0))
     return new_rot, new_t, rmse, nin
 
 
@@ -113,17 +184,29 @@ def icp(source: jnp.ndarray, target: jnp.ndarray,
         point_to_plane: bool = False,
         target_normals: Optional[jnp.ndarray] = None,
         tile: int = 2048,
-        damping: float = 1e-6) -> IcpResult:
+        damping: float = 1e-6,
+        correspondence: str = "exact",
+        window: int = 64) -> IcpResult:
     """Align ``source`` (N, 3) to ``target`` (M, 3).
 
     Runs ``iterations`` Gauss-Newton steps inside a ``lax.scan`` (static
     shape, single compilation).  ``*_valid`` mask padded rows.
+
+    ``correspondence``: ``"exact"`` — brute-force MXU nearest neighbour,
+    O(N·M) per iteration (right up to ~100k-point maps); ``"morton"`` —
+    Morton-window matching, O((N+M)·window) per iteration
+    (:func:`morton_nearest_target`), the multi-million-point path
+    (point-to-point only).
     """
     dtype = source.dtype
     if source_valid is None:
         source_valid = jnp.ones(source.shape[0], bool)
     if target_valid is None:
         target_valid = jnp.ones(target.shape[0], bool)
+    if correspondence not in ("exact", "morton"):
+        raise ValueError(f"unknown correspondence {correspondence!r}")
+    if correspondence == "morton" and point_to_plane:
+        raise ValueError("point_to_plane requires correspondence='exact'")
     rot0 = jnp.eye(3, dtype=dtype) if init_rotation is None \
         else init_rotation.astype(dtype)
     t0 = jnp.zeros(3, dtype) if init_translation is None \
@@ -139,11 +222,30 @@ def icp(source: jnp.ndarray, target: jnp.ndarray,
 
     max_d2 = jnp.asarray(max_correspondence_distance ** 2, dtype)
 
+    if correspondence == "exact":
+        def corr_fn(moved):
+            idx, d2 = nearest_neighbors(moved, target, target_valid, tile)
+            return target[idx], d2, target_normals[idx]
+    else:
+        big = jnp.asarray(jnp.inf, dtype)
+        tmin = jnp.min(jnp.where(target_valid[:, None], target, big),
+                       axis=0)
+        tmax = jnp.max(jnp.where(target_valid[:, None], target, -big),
+                       axis=0)
+        extent = tmax - tmin
+        zero_n = jnp.zeros((source.shape[0], 3), dtype)
+
+        def corr_fn(moved):
+            matched, d2 = morton_nearest_target(
+                moved, source_valid, target, target_valid, tmin, extent,
+                window)
+            return matched, d2, zero_n
+
     def body(carry, _):
         rot, t = carry
         new_rot, new_t, rmse, nin = _icp_step(
-            source, source_valid, target, target_valid, target_normals,
-            rot, t, max_d2, point_to_plane, tile, damping)
+            source, source_valid, corr_fn,
+            rot, t, max_d2, point_to_plane, damping)
         return (new_rot, new_t), (rmse, nin)
 
     (rot, t), (rmses, nins) = jax.lax.scan(

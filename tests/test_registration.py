@@ -178,3 +178,33 @@ def test_pose_graph_cg_5000_poses(rng):
     assert float(costs[-1]) < float(costs[0]) + 1e-9
     np.testing.assert_allclose(np.asarray(optimized.translations[0]),
                                true_t[0], atol=1e-4)
+
+
+def test_icp_morton_correspondence_matches_exact(rng):
+    """Morton-window correspondence (O((N+M)·window) per iteration, no
+    gathers) converges to the same transform as brute-force matching."""
+    u = rng.uniform(-3, 3, (4096, 2))
+    z = 0.3 * np.sin(u[:, 0] * 2) + 0.2 * np.cos(u[:, 1] * 1.5)
+    target = np.stack([u[:, 0], u[:, 1], z], axis=1)
+    t_true = np.array([0.1, -0.08, 0.05])
+    source = target - t_true
+
+    exact = icp(jnp.asarray(source), jnp.asarray(target),
+                max_correspondence_distance=2.0, iterations=10)
+    fast = icp(jnp.asarray(source), jnp.asarray(target),
+               max_correspondence_distance=2.0, iterations=10,
+               correspondence="morton", window=64)
+    np.testing.assert_allclose(np.asarray(fast.translation), t_true,
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(fast.translation),
+                               np.asarray(exact.translation), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(fast.rotation),
+                               np.asarray(exact.rotation), atol=2e-3)
+
+
+def test_icp_morton_point_to_plane_rejected():
+    with pytest.raises(ValueError, match="point_to_plane"):
+        icp(jnp.zeros((8, 3)), jnp.zeros((8, 3)),
+            correspondence="morton", point_to_plane=True)
+    with pytest.raises(ValueError, match="unknown correspondence"):
+        icp(jnp.zeros((8, 3)), jnp.zeros((8, 3)), correspondence="kdtree")
