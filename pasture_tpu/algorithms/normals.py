@@ -126,30 +126,38 @@ def window_fit(sp: jnp.ndarray, pp: jnp.ndarray, k: int, w: int):
     big = jnp.asarray(jnp.inf, dtype)
     shifts = list(range(-w, w + 1))
 
-    d2_cols = []
-    for s in shifts:
+    def shift_d2(s):
         q = jax.lax.dynamic_slice_in_dim(pp, w + s, n, axis=0)
         d = sp - q
         d2 = jnp.sum(d * d, axis=1)
-        d2_cols.append(jnp.where(jnp.isfinite(d2), d2, big))
-    d2m = jnp.stack(d2_cols, axis=1)                   # (N, 2w+1)
+        return q, jnp.where(jnp.isfinite(d2), d2, big)
 
-    # per-row k-th smallest distance = selection threshold (ties may
-    # admit a few extras; the count rides into the denominators)
-    kth = -jax.lax.top_k(-d2m, k)[0][:, k - 1]
-    thr = jnp.where(jnp.isfinite(kth), kth, big)
+    # per-row k-th smallest distance = selection threshold, via k
+    # STREAMING min-registers bubbled per shift — exact k-th, no (N, 2w+1)
+    # matrix and no top_k (both lower poorly on TPU); everything stays a
+    # fusable elementwise chain over (N,) columns.  Ties may admit a few
+    # extras; the count rides into the denominators.
+    regs = [jnp.full((n,), big) for _ in range(k)]
+    for s in shifts:
+        _, d2 = shift_d2(s)
+        v = d2
+        for i in range(k):
+            lo_ = jnp.minimum(regs[i], v)
+            v = jnp.maximum(regs[i], v)
+            regs[i] = lo_
+    thr = regs[k - 1]
 
     cnt = jnp.zeros(n, dtype)
     mean = jnp.zeros((n, 3), dtype)
     tight = jnp.zeros(n, dtype)
     # covariance second moments: xx, yy, zz, xy, xz, yz
     m2 = [jnp.zeros(n, dtype) for _ in range(6)]
-    for j, s in enumerate(shifts):
-        q = jax.lax.dynamic_slice_in_dim(pp, w + s, n, axis=0)
-        sel = (d2m[:, j] <= thr) & jnp.isfinite(q[:, 0])
+    for s in shifts:
+        q, d2 = shift_d2(s)
+        sel = (d2 <= thr) & jnp.isfinite(q[:, 0])
         f = sel.astype(dtype)
         cnt = cnt + f
-        tight = tight + jnp.where(sel, d2m[:, j], 0.0)
+        tight = tight + jnp.where(sel, d2, 0.0)
         qz = jnp.where(sel[:, None], q, 0.0)
         mean = mean + qz
         m2[0] = m2[0] + qz[:, 0] * qz[:, 0]
