@@ -19,6 +19,7 @@ from .base import (  # noqa: F401
     open_writer,
     point_count,
     read_all,
+    read_all_appended,
     read_all_into,
     write_all,
 )

@@ -179,6 +179,13 @@ def read_all_into(buffer: HostPointBuffer,
         return buffer.append(r.read_all(buffer.schema))
 
 
+#: Preferred, misuse-resistant name for :func:`read_all_into`: the "appended"
+#: spelling makes the value-style contract (use the RETURN value) explicit,
+#: so callers porting from the reference's in-place ``read_all_into`` don't
+#: silently drop the result (advisor finding, round 1).
+read_all_appended = read_all_into
+
+
 def write_all(buffer: HostPointBuffer, path: Union[str, Path], **kw) -> None:
     """Open + write + flush (reference base/mod.rs:63-79)."""
     with open_writer(path, buffer.schema, **kw) as w:

@@ -40,7 +40,8 @@ from .feature_table import (
     write_feature_table_header,
 )
 
-__all__ = ["PntsReader", "PntsWriter", "PntsMetadata", "PntsReadPositionsMode"]
+__all__ = ["PntsReader", "PntsWriter", "PntsMetadata", "PntsReadPositionsMode",
+           "oct16p_decode", "oct16p_encode"]
 
 _HEADER = struct.Struct("<4sIIIIII")  # magic, version, byteLength, ftJSON, ftBin, btJSON, btBin
 
@@ -51,6 +52,46 @@ _SEMANTICS: List[Tuple[str, PointAttribute]] = [
     ("RGB", att.COLOR_RGB.with_dtype(dt.VEC3U8)),
     ("NORMAL", att.NORMAL),
 ]
+
+
+def oct16p_decode(enc: np.ndarray) -> np.ndarray:
+    """Decode octahedron-encoded unit normals (NORMAL_OCT16P semantic).
+
+    ``enc`` is (N, 2) uint8; returns (N, 3) float32 unit vectors.  The
+    scheme is Cesium's ``AttributeCompression.octDecodeInRange`` with
+    rangeMax=255 ("A Survey of Efficient Representations for Independent
+    Unit Vectors", Cigolle et al. 2014).
+    """
+    e = enc.astype(np.float64) / 255.0 * 2.0 - 1.0
+    x, y = e[:, 0], e[:, 1]
+    z = 1.0 - np.abs(x) - np.abs(y)
+    # signNotZero: fold the lower hemisphere back across the diagonals
+    sx = np.where(x >= 0.0, 1.0, -1.0)
+    sy = np.where(y >= 0.0, 1.0, -1.0)
+    fold = z < 0.0
+    x, y = (np.where(fold, (1.0 - np.abs(y)) * sx, x),
+            np.where(fold, (1.0 - np.abs(x)) * sy, y))
+    v = np.stack([x, y, z], axis=1)
+    norm = np.linalg.norm(v, axis=1, keepdims=True)
+    return (v / np.where(norm == 0.0, 1.0, norm)).astype(np.float32)
+
+
+def oct16p_encode(normals: np.ndarray) -> np.ndarray:
+    """Encode (N, 3) unit vectors to (N, 2) uint8 (inverse of
+    :func:`oct16p_decode`; Cesium ``octEncodeInRange`` with rangeMax=255)."""
+    v = np.asarray(normals, np.float64)
+    inv_l1 = 1.0 / np.maximum(
+        np.abs(v[:, 0]) + np.abs(v[:, 1]) + np.abs(v[:, 2]), 1e-30)
+    x = v[:, 0] * inv_l1
+    y = v[:, 1] * inv_l1
+    lower = v[:, 2] < 0.0
+    sx = np.where(x >= 0.0, 1.0, -1.0)
+    sy = np.where(y >= 0.0, 1.0, -1.0)
+    x, y = (np.where(lower, (1.0 - np.abs(y)) * sx, x),
+            np.where(lower, (1.0 - np.abs(x)) * sy, y))
+    enc = np.stack([x, y], axis=1)
+    return np.clip(np.round((enc + 1.0) * 0.5 * 255.0), 0, 255).astype(
+        np.uint8)
 
 
 class PntsReadPositionsMode(enum.Enum):
@@ -158,6 +199,55 @@ class PntsReader(PointReader):
             schema.add_attribute(att.POSITION_3D.with_dtype(dt.VEC3F32), 1)
             cols[att.POSITION_3D.name] = pos
 
+        # NORMAL_OCT16P: octahedron-encoded unit normals, 2 x u8 per point
+        # (beyond the reference, which TODOs it — pnts_writer.rs:113-117).
+        # Decode per the 3D Tiles / Cesium AttributeCompression scheme
+        # (octDecodeInRange with rangeMax=255).
+        nref = ft_header.pop("NORMAL_OCT16P", None)
+        if nref is not None and att.NORMAL.name not in cols:
+            if not isinstance(nref, FeatureTableDataReference):
+                raise ValueError(
+                    "PNTS attribute NORMAL_OCT16P must be a data reference")
+            enc = np.frombuffer(buf, np.uint8, n * 2,
+                                body + nref.byte_offset).reshape(n, 2)
+            schema.add_attribute(att.NORMAL, 1)
+            cols[att.NORMAL.name] = oct16p_decode(enc)
+
+        # RGB565: 16-bit packed color, decoded to Vec3u8 when no wider
+        # color semantic is present (beyond the reference, same TODO)
+        c565 = ft_header.pop("RGB565", None)
+        if (c565 is not None and att.COLOR_RGBA.name not in cols
+                and att.COLOR_RGB.name not in cols):
+            if not isinstance(c565, FeatureTableDataReference):
+                raise ValueError(
+                    "PNTS attribute RGB565 must be a data reference")
+            v = np.frombuffer(buf, np.uint16, n, body + c565.byte_offset)
+            r = ((v >> 11) & 0x1F).astype(np.float64) * (255.0 / 31.0)
+            g = ((v >> 5) & 0x3F).astype(np.float64) * (255.0 / 63.0)
+            b = (v & 0x1F).astype(np.float64) * (255.0 / 31.0)
+            schema.add_attribute(att.COLOR_RGB.with_dtype(dt.VEC3U8), 1)
+            cols[att.COLOR_RGB.name] = np.stack(
+                [r, g, b], axis=1).round().astype(np.uint8)
+
+        # BATCH_ID: per-point batch index -> PointID column (beyond the
+        # reference, same TODO).  componentType defaults to UNSIGNED_SHORT
+        # per the 3D Tiles PointCloud spec.
+        bref = ft_header.pop("BATCH_ID", None)
+        if bref is not None:
+            if not isinstance(bref, FeatureTableDataReference):
+                raise ValueError(
+                    "PNTS attribute BATCH_ID must be a data reference")
+            wire = {"UNSIGNED_BYTE": np.uint8, "UNSIGNED_SHORT": np.uint16,
+                    "UNSIGNED_INT": np.uint32}.get(
+                        bref.component_type or "UNSIGNED_SHORT")
+            if wire is None:
+                raise ValueError(
+                    f"unsupported BATCH_ID componentType "
+                    f"{bref.component_type!r}")
+            ids = np.frombuffer(buf, wire, n, body + bref.byte_offset)
+            schema.add_attribute(att.POINT_ID, 1)
+            cols[att.POINT_ID.name] = ids.astype(np.uint64)
+
         # CONSTANT_RGBA: materialize as a per-point color column when no
         # explicit color semantic is present (spec: per-point color wins)
         crgba = self._metadata.constant_rgba
@@ -202,11 +292,20 @@ class PntsWriter(PointWriter):
     """Write-on-flush .pnts writer (reference pnts_writer.rs:67-597)."""
 
     def __init__(self, target: Union[str, Path], schema: PointSchema,
-                 rtc_center: Optional[np.ndarray] = None) -> None:
+                 rtc_center: Optional[np.ndarray] = None,
+                 quantize_positions: bool = False,
+                 compress_normals: bool = False) -> None:
+        """``quantize_positions`` emits POSITION_QUANTIZED (u16 triples +
+        QUANTIZED_VOLUME_OFFSET/SCALE, 2.6e-5 of the extent per axis) and
+        ``compress_normals`` emits NORMAL_OCT16P (2 bytes/normal) — both
+        compact wire forms the reference only TODOs
+        (pnts_writer.rs:113-117); off by default for reference parity."""
         self._target = target
         self.source_schema = schema
         self._rtc_center = (np.asarray(rtc_center, np.float64)
                             if rtc_center is not None else None)
+        self._quantize_positions = quantize_positions
+        self._compress_normals = compress_normals
         # compatible layout: the surviving semantics in spec order
         compatible = PointSchema()
         self._mapping: List[Tuple[str, PointAttribute]] = []
@@ -247,6 +346,19 @@ class PntsWriter(PointWriter):
             if (semantic == "POSITION" and self._rtc_center is not None):
                 col = (col.astype(np.float64)
                        - self._rtc_center[None, :]).astype(np.float32)
+            if semantic == "POSITION" and self._quantize_positions and n:
+                off64 = col.min(axis=0).astype(np.float64)
+                sc64 = np.maximum(
+                    col.max(axis=0).astype(np.float64) - off64, 1e-30)
+                q = np.round((col.astype(np.float64) - off64[None, :])
+                             / sc64[None, :] * 65535.0)
+                col = np.clip(q, 0, 65535).astype(np.uint16)
+                header["QUANTIZED_VOLUME_OFFSET"] = [float(v) for v in off64]
+                header["QUANTIZED_VOLUME_SCALE"] = [float(v) for v in sc64]
+                semantic = "POSITION_QUANTIZED"
+            elif semantic == "NORMAL" and self._compress_normals:
+                col = oct16p_encode(col)
+                semantic = "NORMAL_OCT16P"
             raw = np.ascontiguousarray(col).tobytes()
             header[semantic] = FeatureTableDataReference(offset)
             body_parts.append(raw)

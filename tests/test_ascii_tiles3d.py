@@ -241,3 +241,99 @@ def test_pnts_constant_rgba_materialized():
     assert rgba.shape == (2, 4)
     np.testing.assert_array_equal(rgba, [[255, 128, 0, 200]] * 2)
     np.testing.assert_allclose(buf.get(att.POSITION_3D.name), pos)
+
+
+def test_pnts_oct16p_normals():
+    """NORMAL_OCT16P octahedral decode (beyond the reference's TODO,
+    pnts_writer.rs:113-117): encode exact unit vectors, read back."""
+    from pasture_tpu.io.tiles3d.feature_table import \
+        FeatureTableDataReference
+    from pasture_tpu.io.tiles3d.pnts import oct16p_decode, oct16p_encode
+
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=(64, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    # include the axis-aligned + lower-hemisphere corners explicitly
+    v = np.concatenate([v, np.asarray(
+        [[0, 0, 1], [0, 0, -1], [1, 0, 0], [-1, 0, 0], [0, 1, 0],
+         [0, -1, 0]], np.float64)])
+    enc = oct16p_encode(v)
+    dec = oct16p_decode(enc)
+    # 8-bit oct encoding: worst-case angular error well under 2 degrees
+    cos = np.sum(dec * v, axis=1)
+    assert np.all(cos > np.cos(np.deg2rad(2.0)))
+
+    pos = np.zeros((len(v), 3), np.float32)
+    body = pos.tobytes() + enc.tobytes()
+    data = _pnts_bytes({
+        "POINTS_LENGTH": len(v),
+        "POSITION": FeatureTableDataReference(0),
+        "NORMAL_OCT16P": FeatureTableDataReference(pos.nbytes),
+    }, body)
+    buf = PntsReader(data).read_all()
+    np.testing.assert_allclose(buf.get(att.NORMAL.name), dec)
+
+
+def test_pnts_rgb565_and_batch_id():
+    """RGB565 unpack + BATCH_ID -> PointID column (reference TODOs both,
+    pnts_writer.rs:113-117)."""
+    from pasture_tpu.io.tiles3d.feature_table import \
+        FeatureTableDataReference
+
+    pos = np.zeros((3, 3), np.float32)
+    # pure red / pure green / mid gray in 5-6-5 packing
+    c = np.asarray([0x1F << 11, 0x3F << 5, (16 << 11) | (32 << 5) | 16],
+                   np.uint16)
+    ids = np.asarray([7, 7, 42], np.uint16)
+    body = pos.tobytes() + c.tobytes() + ids.tobytes()
+    data = _pnts_bytes({
+        "POINTS_LENGTH": 3,
+        "POSITION": FeatureTableDataReference(0),
+        "RGB565": FeatureTableDataReference(pos.nbytes),
+        "BATCH_ID": FeatureTableDataReference(
+            pos.nbytes + c.nbytes, "UNSIGNED_SHORT"),
+    }, body)
+    buf = PntsReader(data).read_all()
+    rgb = buf.get(att.COLOR_RGB.name)
+    np.testing.assert_array_equal(rgb[0], [255, 0, 0])
+    np.testing.assert_array_equal(rgb[1], [0, 255, 0])
+    np.testing.assert_array_equal(
+        rgb[2], np.round(np.asarray([16 * 255 / 31, 32 * 255 / 63,
+                                     16 * 255 / 31])).astype(np.uint8))
+    pid = buf.get(att.POINT_ID.name)
+    assert pid.dtype == np.uint64
+    np.testing.assert_array_equal(pid, [7, 7, 42])
+
+
+def test_pnts_compact_writer_roundtrip(tmp_path):
+    """Writer-side POSITION_QUANTIZED + NORMAL_OCT16P (opt-in compact
+    wire forms; reference TODOs both, pnts_writer.rs:113-117)."""
+    from pasture_tpu.buffers.host import HostPointBuffer
+    from pasture_tpu.io.tiles3d.pnts import PntsWriter
+    from pasture_tpu.layout import dtypes as dt
+    from pasture_tpu.layout.schema import PointSchema
+
+    rng = np.random.default_rng(11)
+    pos = rng.uniform(-50.0, 50.0, (256, 3)).astype(np.float32)
+    nrm = rng.normal(size=(256, 3))
+    nrm = (nrm / np.linalg.norm(nrm, axis=1, keepdims=True)).astype(
+        np.float32)
+    schema = PointSchema.from_attributes(
+        [att.POSITION_3D.with_dtype(dt.VEC3F32), att.NORMAL])
+    buf = HostPointBuffer(
+        schema, {att.POSITION_3D.name: pos, att.NORMAL.name: nrm},
+        validate=False)
+    path = tmp_path / "compact.pnts"
+    # rtc_center composes with quantization: the quantized volume is
+    # rtc-relative, the ABSOLUTE-mode reader re-adds the center
+    with PntsWriter(path, schema, rtc_center=[100.0, 200.0, 300.0],
+                    quantize_positions=True, compress_normals=True) as w:
+        w.write(buf)
+    back = PntsReader(path).read_all()
+    # u16 quantization: error <= extent/65535 per axis (~1.6 mm here)
+    extent = pos.max(axis=0) - pos.min(axis=0)
+    err = np.abs(back.get(att.POSITION_3D.name) - pos)
+    # quantization step + f32 rounding through the rtc add-back at ~300
+    assert np.all(err <= extent[None, :] / 65535.0 + 1e-3)
+    cos = np.sum(back.get(att.NORMAL.name) * nrm, axis=1)
+    assert np.all(cos > np.cos(np.deg2rad(2.0)))
