@@ -296,10 +296,16 @@ class PntsWriter(PointWriter):
                  quantize_positions: bool = False,
                  compress_normals: bool = False) -> None:
         """``quantize_positions`` emits POSITION_QUANTIZED (u16 triples +
-        QUANTIZED_VOLUME_OFFSET/SCALE, 2.6e-5 of the extent per axis) and
+        QUANTIZED_VOLUME_OFFSET/SCALE; step 1/65535 ~ 1.5e-5 of the extent
+        per axis, max round-to-nearest error ~7.6e-6) and
         ``compress_normals`` emits NORMAL_OCT16P (2 bytes/normal) — both
         compact wire forms the reference only TODOs
-        (pnts_writer.rs:113-117); off by default for reference parity."""
+        (pnts_writer.rs:113-117); off by default for reference parity.
+
+        Note BATCH_ID is read-only: the reader decodes it into PointID but
+        the writer has no BATCH_ID path (the reference writer drops it
+        too), so read-then-write loses batch IDs — a warning is emitted
+        when a PointID column is dropped (see LIMITATIONS.md)."""
         self._target = target
         self.source_schema = schema
         self._rtc_center = (np.asarray(rtc_center, np.float64)
@@ -314,6 +320,12 @@ class PntsWriter(PointWriter):
                 compatible.add_attribute(target_attr, 1)
                 self._mapping.append((semantic, target_attr))
         self._schema = compatible
+        if schema.has_attribute_with_name(att.POINT_ID.name):
+            import warnings
+            warnings.warn(
+                "PNTS writer has no BATCH_ID path: the PointID column "
+                "will be dropped on write (BATCH_ID is read-only; see "
+                "LIMITATIONS.md)", stacklevel=2)
         self._cache: List[HostPointBuffer] = []
         self._flushed = False
 
@@ -347,9 +359,15 @@ class PntsWriter(PointWriter):
                 col = (col.astype(np.float64)
                        - self._rtc_center[None, :]).astype(np.float32)
             if semantic == "POSITION" and self._quantize_positions and n:
+                if not np.isfinite(col).all():
+                    raise ValueError(
+                        "quantize_positions requires finite positions "
+                        "(NaN/Inf would corrupt the uint16 cast)")
                 off64 = col.min(axis=0).astype(np.float64)
-                sc64 = np.maximum(
-                    col.max(axis=0).astype(np.float64) - off64, 1e-30)
+                extent = col.max(axis=0).astype(np.float64) - off64
+                # degenerate axes get scale 1.0 (not a 1e-30 sentinel):
+                # decoders compute off + q/65535*scale and q is 0 there
+                sc64 = np.where(extent > 0.0, extent, 1.0)
                 q = np.round((col.astype(np.float64) - off64[None, :])
                              / sc64[None, :] * 65535.0)
                 col = np.clip(q, 0, 65535).astype(np.uint16)

@@ -337,3 +337,61 @@ def test_pnts_compact_writer_roundtrip(tmp_path):
     assert np.all(err <= extent[None, :] / 65535.0 + 1e-3)
     cos = np.sum(back.get(att.NORMAL.name) * nrm, axis=1)
     assert np.all(cos > np.cos(np.deg2rad(2.0)))
+
+
+def test_pnts_quantized_writer_degenerate_and_nonfinite(tmp_path):
+    """Advisor findings (round 2): a zero-extent axis must emit a sane
+    QUANTIZED_VOLUME_SCALE (1.0, not a 1e-30 sentinel) for third-party
+    decoders, and non-finite positions must raise instead of silently
+    corrupting the uint16 cast."""
+    import json
+    import struct
+
+    import pytest
+
+    from pasture_tpu.buffers.host import HostPointBuffer
+    from pasture_tpu.io.tiles3d.pnts import PntsWriter
+    from pasture_tpu.layout import dtypes as dt
+    from pasture_tpu.layout.schema import PointSchema
+
+    schema = PointSchema.from_attributes(
+        [att.POSITION_3D.with_dtype(dt.VEC3F32)])
+    pos = np.array([[0.0, 5.0, -1.0], [10.0, 5.0, 3.0], [4.0, 5.0, 0.5]],
+                   np.float32)  # y axis has zero extent
+    buf = HostPointBuffer(schema, {att.POSITION_3D.name: pos},
+                          validate=False)
+    path = tmp_path / "flat.pnts"
+    with PntsWriter(path, schema, quantize_positions=True) as w:
+        w.write(buf)
+    raw = path.read_bytes()
+    ftj_len = struct.unpack_from("<I", raw, 12)[0]
+    header = json.loads(raw[28:28 + ftj_len].decode())
+    assert header["QUANTIZED_VOLUME_SCALE"][1] == 1.0
+    back = PntsReader(path).read_all().get(att.POSITION_3D.name)
+    np.testing.assert_allclose(back, pos, atol=1e-3)
+    np.testing.assert_array_equal(back[:, 1], 5.0)
+
+    bad = pos.copy()
+    bad[1, 2] = np.nan
+    bbuf = HostPointBuffer(schema, {att.POSITION_3D.name: bad},
+                           validate=False)
+    with PntsWriter(tmp_path / "bad.pnts", schema,
+                    quantize_positions=True) as w:
+        w.write(bbuf)
+        with pytest.raises(ValueError, match="finite"):
+            w.flush()
+
+
+def test_pnts_writer_warns_on_dropped_point_id(tmp_path):
+    """BATCH_ID is read-only (decoded into PointID); writing a schema
+    with PointID warns that the column is dropped (advisor finding)."""
+    import pytest
+
+    from pasture_tpu.io.tiles3d.pnts import PntsWriter
+    from pasture_tpu.layout import dtypes as dt
+    from pasture_tpu.layout.schema import PointSchema
+
+    schema = PointSchema.from_attributes(
+        [att.POSITION_3D.with_dtype(dt.VEC3F32), att.POINT_ID])
+    with pytest.warns(UserWarning, match="BATCH_ID"):
+        PntsWriter(tmp_path / "drop.pnts", schema)
