@@ -80,6 +80,19 @@ def main(n=1_000_000):
     inten = buf.get(att.INTENSITY.name)
     report("filter", n, timed(lambda: buf.filter(inten > 1000)))
 
+    # convex hull (reference convexhull_bench: 1k/10k/100k uniform cube)
+    from pasture_tpu.algorithms import convex_hull_as_triangle_mesh
+    rng = np.random.default_rng(1)
+    schema3 = PointSchema.from_attributes([att.POSITION_3D])
+    for hn in (1_000, 10_000, 100_000):
+        hbuf = HostPointBuffer(
+            schema3,
+            {att.POSITION_3D.name: rng.uniform(-100.0, 100.0, (hn, 3))},
+            validate=False)
+        report(f"convex_hull_{hn}", hn,
+               timed(lambda b=hbuf: convex_hull_as_triangle_mesh(b),
+                     repeats=3))
+
     # LAS write + read (reference las_bench)
     stream = io.BytesIO()
     def write_las():
