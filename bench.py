@@ -4,6 +4,15 @@ Runs the flagship device pipeline (LAS i32 decode -> rigid transform ->
 Morton-sorted voxel downsample) on one chip and prints ONE JSON line:
 ``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``.
 
+The headline path is EXACT — no quantization anywhere: each point's i32
+LAS local coordinate rides the sort as a 10-bit integer residual of a
+per-cell base (one u32 operand instead of three f32), and the voxel
+centroid is the affine image of the EXACT local mean (the mean commutes
+with the rigid transform; residual sums are exact in f32).  This is
+strictly MORE accurate than summing rounded f32 world positions — see
+ops/kernels/fused_transform.py and the equivalence/oracle tests in
+tests/test_pallas_kernels.py.
+
 Baseline: the driver-set north star of 1 Gpoint/s/chip on TPU v5e
 (/root/repo/BASELINE.json; the reference publishes no numbers — BASELINE.md).
 ``vs_baseline`` is the fraction of that target achieved.
@@ -27,34 +36,54 @@ from pasture_tpu.buffers.device import PointBatch
 from pasture_tpu.layout import attributes as att
 from pasture_tpu.layout.schema import PointSchema
 from pasture_tpu.ops import voxel_downsample
-from pasture_tpu.ops.kernels import fused_voxel_head, fused_world_bounds
+from pasture_tpu.ops.kernels import (fused_voxel_head_exact_local,
+                                     fused_world_bounds)
+from pasture_tpu.ops.kernels.fused_transform import exact_local_base_coeffs
 
 N = 1 << 22  # 4M points
 LEAF = 0.5
 TARGET_POINTS_PER_S = 1e9
 K = 16  # pipeline iterations inside the single timed program
-TILES = 1024  # spatially-disjoint z-slabs, as tiled ingest / Morton
-#             partitioning delivers them (pasture_tpu.parallel.partition);
-#             batched per-tile sorts are ~35% cheaper than one flat sort
+ZTILES = 1024   # z-slabs (one leaf thick; the 10-bit grid's z capacity)
+XTILES = 8      # world-x stripes per slab (voxel-aligned boundaries)
+TILES = ZTILES * XTILES  # spatially-disjoint ingest tiles, the shape
+#        tiled ingest / Morton partitioning hands the voxelizer
+#        (pasture_tpu.parallel.partition); per-tile batched sorts get
+#        cheaper as tiles shrink (fewer sorting-network stages) — 8192
+#        512-row tiles measured ~10-20% faster than 1024 4096-row ones
+#        (benches/tile_probe.py)
+
+_THETA = 0.25
+_ROT = np.asarray([[np.cos(_THETA), -np.sin(_THETA), 0.0],
+                   [np.sin(_THETA), np.cos(_THETA), 0.0],
+                   [0.0, 0.0, 1.0]], np.float32)
+_TRANS = np.asarray([10.0, -5.0, 2.0], np.float64)
 
 
 def make_batch(n: int) -> PointBatch:
-    """Random points arranged as TILES spatially-disjoint z-slabs (the
-    shape in which streaming ingest and the Morton partitioner hand
-    batches to the voxelizer).  Slab boundaries are multiples of LEAF in
-    world space so per-tile voxelization equals global voxelization."""
+    """Random points arranged as TILES spatially-disjoint (z-slab,
+    world-x-stripe) tiles — the shape in which streaming ingest and the
+    Morton partitioner hand batches to the voxelizer.  Tile boundaries
+    are voxel multiples in the OUTPUT frame (the transform rotates about
+    z: z-slabs stay axis-aligned, and the x stripes are carved in world
+    space, locals being the inverse-affine images) so per-tile
+    voxelization equals global voxelization."""
     rng = np.random.default_rng(7)
     per = n // TILES
-    # slab width: multiple of LEAF/scale = 500 locals (>= one leaf)
-    slab = max(500, 200_000 // TILES // 500 * 500)
-    # slabs along z: the pipeline's rigid transform rotates about z, so
-    # z-slabs stay axis-aligned and voxel-disjoint in the output frame
-    zs = [rng.integers(i * slab, (i + 1) * slab, size=per, dtype=np.int32)
-          for i in range(TILES)]
-    local = np.stack([
-        rng.integers(0, 200_000, size=n, dtype=np.int32),
-        rng.integers(0, 200_000, size=n, dtype=np.int32),
-        np.concatenate(zs)], axis=1)
+    wx_lo, wx_hi = 60.0, 140.0    # inner box of the rotated local region
+    stripe = (wx_hi - wx_lo) / XTILES
+    assert (stripe / LEAF) == round(stripe / LEAF)
+    parts = []
+    for zi in range(ZTILES):
+        for xi in range(XTILES):
+            wx = rng.uniform(wx_lo + xi * stripe,
+                             wx_lo + (xi + 1) * stripe, per)
+            wy = rng.uniform(-40.0, 40.0, per)
+            wz = _TRANS[2] + (zi * 500 + rng.uniform(0, 500, per)) * 0.001
+            w = np.stack([wx, wy, wz], axis=1)
+            loc = ((w - _TRANS) @ _ROT.astype(np.float64)) / 0.001
+            parts.append(np.round(loc).astype(np.int32))
+    local = np.concatenate(parts)
     intensity = rng.integers(0, 65536, size=n, dtype=np.uint16)
     cls = rng.integers(0, 32, size=n, dtype=np.uint8)
     schema = PointSchema.from_attributes(
@@ -68,32 +97,32 @@ def make_batch(n: int) -> PointBatch:
 
 
 def pipeline(batch: PointBatch, shift: jnp.ndarray) -> jnp.ndarray:
-    """One transform+voxelize step.  Returns a checksum that depends on
-    EVERY output column so XLA cannot dead-code-eliminate any reduction."""
+    """One EXACT transform+voxelize step.  Returns a checksum that depends
+    on EVERY output column so XLA cannot dead-code-eliminate any
+    reduction."""
     scale = jnp.asarray([0.001, 0.001, 0.001], jnp.float32)
     local = batch.data["LASLocalPosition"]
-    c, s = 0.9689124, 0.24740396  # cos/sin 0.25 rad
-    rot = jnp.asarray([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]], jnp.float32)
+    rot = jnp.asarray(_ROT)
     t = jnp.asarray([10.0, -5.0, 2.0], jnp.float32) + shift
-    # Pallas pipeline head: decode + rigid transform + Morton key +
-    # quantized in-cell residuals in ONE HBM pass over the i32 locals —
+    # Pallas pipeline head: decode + rigid transform + Morton key + EXACT
+    # 10-bit integer local residuals in ONE HBM pass over the i32 locals —
     # world positions are never materialised (centroids are reconstructed
-    # from key + mean residual inside voxel_downsample).
+    # as affine(base(cell) + exact local residual mean))
     wmin, _ = fused_world_bounds(local, scale, rot, t)
-    # grid anchored exactly at the z-translation so the z-slab tile
-    # boundaries stay voxel-aligned (x/y anchor is data-driven as usual)
-    bmin = jnp.stack([wmin[0], wmin[1], t[2]])
-    keys, qword = fused_voxel_head(local, scale, rot, t, bmin, LEAF,
-                                   qbits=10, semantics="floor")
+    # grid anchored at leaf multiples in x (stripe boundaries stay
+    # voxel-aligned) and at the z-translation (z-slab boundaries ditto);
+    # the y anchor is data-driven as usual
+    bmin = jnp.stack([jnp.floor(wmin[0] / LEAF) * LEAF, wmin[1], t[2]])
+    coeffs = exact_local_base_coeffs(scale, rot, t, bmin, LEAF, "floor")
+    keys, rword = fused_voxel_head_exact_local(
+        local, scale, rot, t, bmin, LEAF, coeffs, semantics="floor")
     data = dict(batch.data)
     del data["LASLocalPosition"]
     b = PointBatch(data, batch.count, batch.schema, batch.meta)
-    # quantized-residual fast path (documented error bound LEAF/1024 per
-    # axis ~ 0.5mm, far below sensor noise; ops/voxel.py) + per-tile
-    # batched sorts over the TILES disjoint ingest slabs
     out = voxel_downsample(b, LEAF, bounds=(bmin, None), semantics="floor",
-                           grid_bits=10, position_quantization_bits=10,
-                           sort_tiles=TILES, precomputed=(keys, qword))
+                           grid_bits=10, sort_tiles=TILES,
+                           precomputed=(keys, rword),
+                           local_affine=(scale, rot, t, coeffs))
     checksum = out.count
     for col in out.data.values():
         checksum = checksum + jnp.sum(col[:16].astype(jnp.float32)

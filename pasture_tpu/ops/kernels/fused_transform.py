@@ -21,7 +21,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fused_decode_transform_key", "fused_world_bounds",
-           "fused_voxel_head"]
+           "fused_voxel_head", "fused_voxel_head_exact_local",
+           "exact_local_max_leaf"]
 
 _LANES = 128
 
@@ -217,6 +218,171 @@ def _make_head_kernel(qbits: int, nearest: bool):
             | (qy.astype(jnp.int32).astype(jnp.uint32) << qbits)
             | qz.astype(jnp.int32).astype(jnp.uint32))
     return kernel
+
+
+# ---- EXACT pipeline head: integer local-coordinate residuals ---------------
+# The rigid transform is affine, so the per-voxel centroid commutes with it:
+# mean(world) = affine(mean(local)).  Each point's i32 LAS local coordinate
+# is carried as an EXACT 10-bit integer residual relative to a per-cell
+# deterministic base (the inverse affine of the cell's reference world
+# point, floored, minus 512) — three residuals packed into ONE u32 sort
+# operand.  Residual sums over <=4096-point segments stay exact in f32
+# (<= 2^22), so the voxel centroid is the affine image of the EXACT local
+# mean: strictly more accurate than summing rounded f32 world positions,
+# with no quantization anywhere.  This cuts the voxel sort from 5 operands
+# (key, word, x, y, z) to 3 (key, word, resword): sort cost on TPU scales
+# with operand count (benches/sort_ablation.py).
+#
+# Contract: the residual window must fit 10 bits.  Points of a cell lie
+# within L-inf distance sqrt(3)*halfwidth_u*leaf/scale_a of the cell's
+# reference point in local units (rotation rows have unit L2 norm), so the
+# path requires leaf_size <= exact_local_max_leaf(scale, semantics).
+#
+# Determinism: the per-cell base MUST be bit-identical between the head
+# (residual encode) and the reduce kernel (centroid reconstruction); an
+# f32 floor of the inverse affine is fragile (different backends/fusion
+# round differently near integers and the floor flips).  The base is
+# therefore an INTEGER fixed-point function of the cell,
+#     base_a = ((M[a,0]*cx + M[a,1]*cy + M[a,2]*cz + C_lo[a]) >> 8)
+#              + C_hi[a] - 512,
+# with (M, C_hi, C_lo) computed ONCE (exact_local_base_coeffs) and passed
+# to both kernels — integer arithmetic is exact everywhere.  Coefficient
+# rounding costs < ~8 local units of window margin (guarded in
+# exact_local_max_leaf).
+
+def exact_local_max_leaf(scale, semantics: str = "floor") -> float:
+    """Largest ``leaf_size`` the exact-local residual path supports
+    (10-bit window; 12-unit guard for fixed-point base rounding)."""
+    halfwidth_u = 0.75 if semantics == "nearest" else 0.5
+    import numpy as _onp
+    smin = float(_onp.min(_onp.asarray(scale)))
+    return (499.0 / (3.0 ** 0.5 * halfwidth_u)) * smin
+
+
+_BASE_SHIFT = 8  # fixed-point fractional bits of the base coefficients
+
+
+def exact_local_base_coeffs(scale: jnp.ndarray, rotation: jnp.ndarray,
+                            translation: jnp.ndarray,
+                            bounds_min: jnp.ndarray, leaf_size: float,
+                            semantics: str = "floor") -> jnp.ndarray:
+    """(15,) i32 fixed-point base coefficients (M row-major, C_hi, C_lo)
+    shared by the exact-local head and reduce kernels.  Compute ONCE per
+    pipeline and pass the same array to both (determinism contract)."""
+    mid = 0.75 if semantics == "nearest" else 0.5
+    scale = scale.astype(jnp.float32).reshape(3)
+    rot = rotation.astype(jnp.float32).reshape(3, 3)
+    trans = translation.astype(jnp.float32).reshape(3)
+    bmin = bounds_min.astype(jnp.float32).reshape(3)
+    leaf = jnp.float32(leaf_size)
+    # l_ref_a(c) = sum_b Rinv[a,b]*((c_b+mid)*leaf + bmin_b - t_b)/scale_a
+    # Rinv = rot^T; split into per-cell slope M and constant C = Chi+Clo
+    m = (rot.T * leaf / scale[:, None]) * float(1 << _BASE_SHIFT)
+    const = jnp.sum(rot.T * (mid * leaf + bmin - trans)[None, :],
+                    axis=1) / scale
+    c_hi = jnp.floor(const)
+    c_lo = jnp.round((const - c_hi) * float(1 << _BASE_SHIFT))
+    return jnp.concatenate([
+        jnp.round(m).reshape(9).astype(jnp.int32),
+        c_hi.astype(jnp.int32), c_lo.astype(jnp.int32)])
+
+
+def _int_cell_base(coef, cx, cy, cz, axis):
+    """base_a from i32 cell coords — identical integer expression in head
+    and reduce kernels (bit-exact on every backend)."""
+    m = coef[3 * axis:3 * axis + 3]
+    acc = m[0] * cx + m[1] * cy + m[2] * cz + coef[12 + axis]
+    return (acc >> _BASE_SHIFT) + coef[9 + axis] - 512
+
+
+def _make_exact_local_head_kernel(nearest: bool):
+    def kernel(lx_ref, ly_ref, lz_ref, params_ref, coef_ref,
+               key_ref, r_ref):
+        p = params_ref[:]
+        scale, rot, trans = p[0:3], p[3:12].reshape(3, 3), p[12:15]
+        bmin, inv_leaf = p[15:18], p[18]
+        coef = coef_ref[:]
+        lx = lx_ref[:]
+        ly = ly_ref[:]
+        lz = lz_ref[:]
+        wx = lx.astype(jnp.float32) * scale[0]
+        wy = ly.astype(jnp.float32) * scale[1]
+        wz = lz.astype(jnp.float32) * scale[2]
+        tx = rot[0, 0] * wx + rot[0, 1] * wy + rot[0, 2] * wz + trans[0]
+        ty = rot[1, 0] * wx + rot[1, 1] * wy + rot[1, 2] * wz + trans[1]
+        tz = rot[2, 0] * wx + rot[2, 1] * wy + rot[2, 2] * wz + trans[2]
+        ux = (tx - bmin[0]) * inv_leaf
+        uy = (ty - bmin[1]) * inv_leaf
+        uz = (tz - bmin[2]) * inv_leaf
+        if nearest:
+            cxf = jnp.clip(jnp.floor(ux - 0.5), 0, 1023)
+            cyf = jnp.clip(jnp.floor(uy - 0.5), 0, 1023)
+            czf = jnp.clip(jnp.floor(uz - 0.5), 0, 1023)
+        else:
+            cxf = jnp.clip(jnp.floor(ux), 0, 1023)
+            cyf = jnp.clip(jnp.floor(uy), 0, 1023)
+            czf = jnp.clip(jnp.floor(uz), 0, 1023)
+        cx = cxf.astype(jnp.int32)
+        cy = cyf.astype(jnp.int32)
+        cz = czf.astype(jnp.int32)
+        key_ref[:] = (
+            _expand10(cx.astype(jnp.uint32))
+            | (_expand10(cy.astype(jnp.uint32)) << 1)
+            | (_expand10(cz.astype(jnp.uint32)) << 2))
+        rx = jnp.clip(lx - _int_cell_base(coef, cx, cy, cz, 0), 0, 1023)
+        ry = jnp.clip(ly - _int_cell_base(coef, cx, cy, cz, 1), 0, 1023)
+        rz = jnp.clip(lz - _int_cell_base(coef, cx, cy, cz, 2), 0, 1023)
+        r_ref[:] = ((rx.astype(jnp.uint32) << 20)
+                    | (ry.astype(jnp.uint32) << 10)
+                    | rz.astype(jnp.uint32))
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("leaf_size", "semantics", "interpret"))
+def fused_voxel_head_exact_local(local: jnp.ndarray, scale: jnp.ndarray,
+                                 rotation: jnp.ndarray,
+                                 translation: jnp.ndarray,
+                                 bounds_min: jnp.ndarray, leaf_size: float,
+                                 coeffs: jnp.ndarray,
+                                 semantics: str = "floor",
+                                 interpret: bool = None):
+    """(N,) Morton keys + (N,) packed EXACT 10-bit local residual words
+    for the exact voxel pipeline (``voxel_downsample``
+    ``precomputed=(keys, resword)`` + ``local_affine=``), one HBM pass
+    over i32 locals.  ``coeffs`` is the shared
+    :func:`exact_local_base_coeffs` array (pass the SAME array to
+    ``voxel_downsample``).  Requires
+    ``leaf_size <= exact_local_max_leaf(scale, semantics)``."""
+    interpret = _auto_interpret(interpret)
+    n = local.shape[0]
+    tile = _BLOCK_ROWS * _LANES
+    assert n % tile == 0, f"N must be a multiple of {tile}"
+    rows = n // _LANES
+    params = jnp.concatenate([
+        scale.astype(jnp.float32).reshape(3),
+        rotation.astype(jnp.float32).reshape(9),
+        translation.astype(jnp.float32).reshape(3),
+        bounds_min.astype(jnp.float32).reshape(3),
+        jnp.asarray([1.0 / leaf_size], jnp.float32),
+    ])
+    comps = [local[:, i].reshape(rows, _LANES) for i in range(3)]
+    grid = (rows // _BLOCK_ROWS,)
+    block = pl.BlockSpec((_BLOCK_ROWS, _LANES), lambda i: (i, 0))
+    key, rword = pl.pallas_call(
+        _make_exact_local_head_kernel(semantics == "nearest"),
+        grid=grid,
+        in_specs=[block, block, block,
+                  pl.BlockSpec((19,), lambda i: (0,)),
+                  pl.BlockSpec((15,), lambda i: (0,))],
+        out_specs=[block, block],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, _LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((rows, _LANES), jnp.uint32),
+        ],
+        interpret=interpret,
+    )(comps[0], comps[1], comps[2], params,
+      coeffs.astype(jnp.int32))
+    return key.reshape(n), rword.reshape(n)
 
 
 @partial(jax.jit,

@@ -27,7 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .compact_kernel import _flat_shift_up
-from .fused_transform import _auto_interpret, _expand10
+from .fused_transform import _auto_interpret, _expand10, _int_cell_base
 
 __all__ = ["fused_sorted_voxel_reduce", "REDUCE_BLOCK"]
 
@@ -162,25 +162,40 @@ def _seg_max(col, first, rows, neutral, max_seg=None):
 
 
 def _make_kernel(mode_bits: int, fields, qbits: int, qwindow: float,
-                 tile_len: int, exact_pos: bool = False):
+                 tile_len: int, exact_pos: bool = False,
+                 exact_local: bool = False, mid: float = 0.5):
     """``fields``: static list of (shift, width, signed, imin, imax) mean
-    fields packed in the secondary word below the mode bits.
+    fields packed in the secondary word below the mode_bits.
 
     ``exact_pos``: positions arrive as three sorted f32 operands instead of
     the packed residual word — the centroid is their exact block-local
-    segmented f32 mean (no quantization, no reconstruction from the key)."""
+    segmented f32 mean (no quantization, no reconstruction from the key).
+
+    ``exact_local``: the residual word holds EXACT 10-bit i32
+    local-coordinate residuals relative to the per-cell base (see
+    fused_transform.fused_voxel_head_exact_local) — the centroid is the
+    affine image of the exact local mean: base(cell) + mean(residual)
+    scaled and rotated to world.  No quantization; residual sums (<=2^22)
+    are exact in f32.  Params carry the affine (scale, rot, trans)."""
     rows = _BLOCK_ROWS
     total = rows * _LANES
 
     def kernel(key_ref, word_ref, *rest):
+        coef = None
         if exact_pos:
             (pxi_ref, pyi_ref, pzi_ref, params_ref,
              px_ref, py_ref, pz_ref, word_out_ref, cnt_ref) = rest
+        elif exact_local:
+            (q_ref, params_ref, coef_ref,
+             px_ref, py_ref, pz_ref, word_out_ref, cnt_ref) = rest
+            coef = coef_ref[:]
         else:
             (q_ref, params_ref,
              px_ref, py_ref, pz_ref, word_out_ref, cnt_ref) = rest
         p = params_ref[:]
         bmin, leaf = p[0:3], p[3]
+        if exact_local:
+            scale, rot, trans = p[4:7], p[7:16].reshape(3, 3), p[16:19]
 
         key = key_ref[...]
         word = word_ref[...]
@@ -251,6 +266,25 @@ def _make_kernel(mode_bits: int, fields, qbits: int, qwindow: float,
         if exact_pos:
             # ---- centroid = exact segmented f32 mean ---------------------
             px, py, pz = qmeans
+        elif exact_local:
+            # ---- centroid = affine(base(cell) + exact local mean) --------
+            # the base is the SAME integer fixed-point expression the head
+            # kernel encoded residuals against (bit-exact on any backend)
+            cx = _compact10(key).astype(jnp.int32)
+            cy = _compact10(key >> 1).astype(jnp.int32)
+            cz = _compact10(key >> 2).astype(jnp.int32)
+            blx = _int_cell_base(coef, cx, cy, cz, 0).astype(jnp.float32)
+            bly = _int_cell_base(coef, cx, cy, cz, 1).astype(jnp.float32)
+            blz = _int_cell_base(coef, cx, cy, cz, 2).astype(jnp.float32)
+            mlx = (blx + qmeans[0]) * scale[0]
+            mly = (bly + qmeans[1]) * scale[1]
+            mlz = (blz + qmeans[2]) * scale[2]
+            px = rot[0, 0] * mlx + rot[0, 1] * mly + rot[0, 2] * mlz \
+                + trans[0]
+            py = rot[1, 0] * mlx + rot[1, 1] * mly + rot[1, 2] * mlz \
+                + trans[1]
+            pz = rot[2, 0] * mlx + rot[2, 1] * mly + rot[2, 2] * mlz \
+                + trans[2]
         else:
             # ---- centroid reconstruction from key + mean residual -------
             cx = _compact10(key).astype(jnp.int32).astype(jnp.float32)
@@ -323,7 +357,8 @@ def fused_sorted_voxel_reduce(skey: jnp.ndarray, sword: jnp.ndarray,
                               fields: tuple, qbits: int, qwindow: float,
                               tile_len: int, semantics: str = "floor",
                               interpret: bool = None,
-                              spos: tuple = None):
+                              spos: tuple = None,
+                              local_affine: tuple = None):
     """All post-sort voxel work in one blockwise kernel.  Returns
     ``(pos_x, pos_y, pos_z, out_word, per_block_counts)`` with each 64K
     block's voxels compacted to its front (merge with
@@ -331,33 +366,51 @@ def fused_sorted_voxel_reduce(skey: jnp.ndarray, sword: jnp.ndarray,
     non-position payload packed into ``sword`` (mode value in the top
     ``mode_bits``), and ``tile_len`` dividing the 64K block.
 
-    Positions: either ``sqword`` (packed q-bit residual word — the
-    quantized fast path) or ``spos=(px, py, pz)`` sorted f32 operands (the
-    EXACT path: centroids are block-local segmented f32 means, no
-    quantization); pass exactly one of the two (the other ``None``)."""
+    Positions, one of three forms:
+
+    * ``sqword`` packed q-bit residual word — the QUANTIZED fast path;
+    * ``sqword`` + ``local_affine=(scale, rot, trans, coeffs)`` — the
+      EXACT-LOCAL path: the word holds exact 10-bit i32 local residuals
+      (fused_voxel_head_exact_local) and the centroid is the affine image
+      of the exact local mean; ``coeffs`` is the SAME
+      exact_local_base_coeffs array the head used (``qbits`` must be 10);
+    * ``spos=(px, py, pz)`` sorted f32 operands — the EXACT-f32 path:
+      centroids are block-local segmented f32 means."""
     interpret = _auto_interpret(interpret)
     exact_pos = spos is not None
+    exact_local = local_affine is not None
     assert (sqword is None) == exact_pos, \
         "pass exactly one of sqword / spos"
+    assert not (exact_pos and exact_local)
+    assert not exact_local or qbits == 10
     n = skey.shape[0]
     assert n % REDUCE_BLOCK == 0 and REDUCE_BLOCK % tile_len == 0
     grid = (n // REDUCE_BLOCK,)
     rows_total = n // _LANES
 
-    params = jnp.concatenate([
-        bounds_min.astype(jnp.float32).reshape(3),
-        jnp.asarray([leaf_size], jnp.float32),
-    ])
+    parts = [bounds_min.astype(jnp.float32).reshape(3),
+             jnp.asarray([leaf_size], jnp.float32)]
+    coeff_ins = ()
+    if exact_local:
+        scale, rot, trans, coeffs = local_affine
+        parts += [scale.astype(jnp.float32).reshape(3),
+                  rot.astype(jnp.float32).reshape(9),
+                  trans.astype(jnp.float32).reshape(3)]
+        coeff_ins = (coeffs.astype(jnp.int32),)
+    params = jnp.concatenate(parts)
+    nparams = 19 if exact_local else 4
     block = pl.BlockSpec((_BLOCK_ROWS, _LANES), lambda i: (i, 0))
     ins = (skey, sword) + (tuple(spos) if exact_pos else (sqword,))
     shaped = [x.reshape(rows_total, _LANES) for x in ins]
 
     outs = pl.pallas_call(
         _make_kernel(mode_bits, fields, qbits, qwindow, tile_len,
-                     exact_pos=exact_pos),
+                     exact_pos=exact_pos, exact_local=exact_local,
+                     mid=0.75 if semantics == "nearest" else 0.5),
         grid=grid,
         in_specs=[block] * len(shaped)
-        + [pl.BlockSpec((4,), lambda i: (0,))],
+        + [pl.BlockSpec((nparams,), lambda i: (0,))]
+        + ([pl.BlockSpec((15,), lambda i: (0,))] if exact_local else []),
         out_specs=[block, block, block, block,
                    pl.BlockSpec((grid[0], 1), lambda i: (0, 0),
                                 memory_space=pltpu.SMEM)],
@@ -368,5 +421,5 @@ def fused_sorted_voxel_reduce(skey: jnp.ndarray, sword: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(*shaped, params)
+    )(*shaped, params, *coeff_ins)
     return ([o.reshape(-1) for o in outs[:4]], outs[4][:, 0])

@@ -11,10 +11,13 @@ scatter-based segmented reductions to element-at-a-time loops (~100-250ms
 for 4M rows), so the pipeline avoids both entirely —
 
 1. ONE key sort that carries every payload column through the sort network
-   (no post-sort gather).  Sort cost scales with operand count (~1.9ms per
-   extra 4M operand on v5e), so narrow integer payloads are bit-packed
-   into the low bits of the secondary sort key — the first mode column's
-   values occupy the TOP bits of that word, grouping runs for free;
+   (no post-sort gather).  Sort cost scales with OPERAND COUNT (~0.8ms
+   per extra u32 operand on a tiled 4M sort; u64 operands cost MORE than
+   two u32s — benches/sort_ablation.py), so narrow integer payloads are
+   bit-packed into the low bits of the secondary sort key — the first
+   mode column's values occupy the TOP bits of that word, grouping runs
+   for free — and the exact-local path packs all three position
+   components into ONE u32 residual word;
 2. segmented reductions as reverse segmented jump scans over the
    contiguous segments (pasture_tpu.ops.segscan), totals landing on each
    segment's first row;
@@ -180,7 +183,10 @@ def voxel_downsample(batch: PointBatch, leaf_size,
                      position_quantization_bits: Optional[int] = None,
                      sort_tiles: int = 1,
                      precomputed: Optional[Tuple[jnp.ndarray, jnp.ndarray]]
-                     = None) -> PointBatch:
+                     = None,
+                     local_affine: Optional[Tuple[jnp.ndarray, jnp.ndarray,
+                                                  jnp.ndarray]] = None
+                     ) -> PointBatch:
     """Voxel-grid downsample a batch; returns a batch of voxel centroids
     (same schema/capacity, ``count`` = number of occupied voxels, ordered by
     Morton code — the reference orders voxels by (x,y,z) tuple instead).
@@ -210,22 +216,40 @@ def voxel_downsample(batch: PointBatch, leaf_size,
     position decode entirely (the batch need not even carry a position
     column; centroids are reconstructed from key + mean residual).
     Requires the quantized path and explicit ``bounds``.
-    ``precomputed=(morton_keys, None)`` is the EXACT variant (paired with
-    kernels fused_decode_transform_key): keys are taken as given, the
+    ``precomputed=(morton_keys, None)`` is the EXACT-f32 variant (paired
+    with kernels fused_decode_transform_key): keys are taken as given, the
     batch's position column rides the sort as f32 operands, and centroids
     are exact segmented means.  Requires ``grid_bits <= 10`` and explicit
     ``bounds`` (the keys' grid anchor).
+
+    ``precomputed=(morton_keys, resword)`` WITH ``local_affine=(scale,
+    rot, trans)`` is the EXACT-LOCAL variant (paired with kernels
+    fused_voxel_head_exact_local): ``resword`` packs each point's i32 LAS
+    local coordinate as an exact 10-bit integer residual of a per-cell
+    base, and the centroid is the affine image of the EXACT local mean
+    (mean commutes with the rigid transform) — no quantization, one u32
+    sort operand instead of three f32, and strictly tighter error than
+    summing f32 world positions.  Requires ``grid_bits <= 10``, explicit
+    ``bounds``, scalar ``leaf_size``
+    <= kernels.exact_local_max_leaf(scale, semantics), and the batch need
+    not carry a position column.
     """
     pre = precomputed is not None
     pre_exact = pre and precomputed[1] is None
+    exact_local = pre and precomputed[1] is not None \
+        and local_affine is not None
+    if local_affine is not None and not exact_local:
+        raise ValueError("local_affine requires precomputed=(keys, "
+                         "resword) from fused_voxel_head_exact_local")
     if pre:
         if grid_bits > 10:
             raise ValueError("precomputed keys require grid_bits <= 10 "
                              "(single-u32 Morton keys)")
-        if not pre_exact and position_quantization_bits is None:
+        if (not pre_exact and not exact_local
+                and position_quantization_bits is None):
             raise ValueError("precomputed (keys, qword) requires the "
-                             "quantized path: position_quantization_bits "
-                             "set and grid_bits <= 10")
+                             "quantized path (position_quantization_bits "
+                             "set) or local_affine (exact-local path)")
         if bounds is None:
             raise ValueError("precomputed keys require explicit bounds "
                              "(the grid anchor, for centroid "
@@ -269,7 +293,9 @@ def voxel_downsample(batch: PointBatch, leaf_size,
         pkeys, qword = precomputed
         keys = [jnp.where(mask, pkeys, _INVALID_KEY)]
         nk = 1
-        quantize_pos = not pre_exact
+        quantize_pos = not pre_exact and not exact_local
+        if exact_local:
+            qbits = 10   # residual ladder layout (exact i32 residuals)
         cells = None
     else:
         cells = voxel_indices(pos, mask, leaf_size, bmin, semantics,
@@ -359,13 +385,14 @@ def voxel_downsample(batch: PointBatch, leaf_size,
 
     extra_keys = (packed_word,) if packed_word is not None else ()
     loose_ops = tuple(ops[i] for i in loose_idx)
-    extra_vals = (qword,) if quantize_pos else ()
+    carry_q = quantize_pos or exact_local
+    extra_vals = (qword,) if carry_q else ()
     sorted_all = _tiled_sort(
         tuple(keys) + extra_keys + tuple(loose_ops) + extra_vals,
         num_keys=nk + len(extra_keys))
     skeys = sorted_all[:nk]
     sword = sorted_all[nk] if packed_word is not None else None
-    sqword = sorted_all[-1] if quantize_pos else None
+    sqword = sorted_all[-1] if carry_q else None
 
     # ---- fully-fused blockwise reduce+compact (Pallas fast path) -----------
     # when every payload is packed into the secondary word, positions are
@@ -388,7 +415,7 @@ def voxel_downsample(batch: PointBatch, leaf_size,
         and all(flat_names[i] == position_attribute for i in loose_idx)
         and policy_of(position_attribute, pos) == "mean")
     use_fused_reduce = (
-        (quantize_pos and not loose_idx or exact_pos_fused)
+        (carry_q and not loose_idx or exact_pos_fused)
         and nk == 1 and packed_word is not None and _scalar_leaf
         and all(policy_of(flat_names[i], batch.data[flat_names[i]])
                 == "mean" for i, _, _, _ in pack_plan)
@@ -416,7 +443,8 @@ def voxel_downsample(batch: PointBatch, leaf_size,
             streams, cnts = fused_sorted_voxel_reduce(
                 skeys[0], sword, sqword, bmin.astype(jnp.float32),
                 leaf_size, mode_bits, fields, qbits, qwindow, tile_len,
-                semantics)
+                semantics,
+                local_affine=local_affine if exact_local else None)
         blocks = cap // REDUCE_BLOCK
         merged, num_voxels = _merge_tiles(
             [s.reshape(blocks, REDUCE_BLOCK) for s in streams], cnts,
@@ -491,13 +519,13 @@ def voxel_downsample(batch: PointBatch, leaf_size,
                  if policy_of(n, batch.data[n]) == "mean"
                  and ((c.dtype == jnp.float64) == (acc_dtype == jnp.float64))]
         is_f32 = acc_dtype == jnp.float32
-        if not group and not (is_f32 and (counts32 is None or quantize_pos)):
+        if not group and not (is_f32 and (counts32 is None or carry_q)):
             continue
         comps, glayout = _flatten_cols(dict(group))
         # scan as a LIST of 1-D columns (full lane utilization; see segscan)
         cols_acc = [jnp.where(valid, c.astype(acc_dtype), 0) for c in comps]
         nq = 0
-        if is_f32 and quantize_pos:
+        if is_f32 and carry_q:
             # quantized position residuals share this ladder
             qm = jnp.uint32((1 << qbits) - 1)
             for sh in (2 * qbits, qbits, 0):
@@ -531,6 +559,27 @@ def voxel_downsample(batch: PointBatch, leaf_size,
             comps.append((ci.astype(pdt) + mean_r.astype(pdt)) * leaf3[axis]
                          + bmin[axis].astype(pdt))
         reduced[position_attribute] = jnp.stack(comps, axis=1)
+    elif exact_local:
+        # centroid = affine image of the EXACT local mean: per-cell base
+        # (the SAME integer fixed-point expression the head kernel encoded
+        # residuals against — bit-exact on any backend) + exact mean of
+        # the 10-bit integer residuals, scaled and rotated back to world
+        # (mean commutes with the rigid transform)
+        from .kernels.fused_transform import _int_cell_base
+        cnt = jnp.maximum(counts32, 1.0)
+        la_scale, la_rot, la_trans, la_coeffs = local_affine
+        la_scale = la_scale.astype(jnp.float32)
+        la_rot = la_rot.astype(jnp.float32)
+        la_trans = la_trans.astype(jnp.float32)
+        coef = la_coeffs.astype(jnp.int32)
+        cells = [c.astype(jnp.int32) for c in morton_decode_u32(skeys[0])]
+        bl = [_int_cell_base(coef, cells[0], cells[1], cells[2],
+                             a).astype(jnp.float32) for a in range(3)]
+        ml = [(bl[a] + qsums[a] / cnt) * la_scale[a] for a in range(3)]
+        comps = [la_rot[a, 0] * ml[0] + la_rot[a, 1] * ml[1]
+                 + la_rot[a, 2] * ml[2] + la_trans[a] for a in range(3)]
+        reduced[position_attribute] = jnp.stack(
+            [c.astype(pdt) for c in comps], axis=1)
 
     # ---- max: clamped at 0 (centroid_max_pool parity) ----------------------
     for n, c in sorted_cols.items():

@@ -304,3 +304,117 @@ def test_precomputed_exact_keys(rng):
         np.testing.assert_allclose(np.asarray(want.data[name])[:nv],
                                    np.asarray(got.data[name])[:nv],
                                    rtol=1e-6, atol=1e-5, err_msg=name)
+
+
+def test_exact_local_residual_path_matches_exact_f32(rng):
+    """EXACT-LOCAL path (10-bit integer local residuals, one u32 sort
+    operand; centroid = affine(exact local mean)) vs the EXACT-f32 path
+    (positions as 3 f32 sort operands) on the SAME precomputed keys, plus
+    an f64 oracle: the local path must agree with exact-f32 to f32
+    precision and be at least as close to the f64 ground truth."""
+    import jax.numpy as jnp
+    from pasture_tpu.buffers.device import PointBatch
+    from pasture_tpu.layout import attributes as att
+    from pasture_tpu.layout.schema import PointSchema
+    from pasture_tpu.math.morton import morton_decode_u32
+    from pasture_tpu.ops import voxel_downsample
+    from pasture_tpu.ops import voxel as voxel_mod
+    from pasture_tpu.ops.kernels import (exact_local_max_leaf,
+                                         fused_voxel_head_exact_local)
+    from pasture_tpu.ops.kernels.fused_transform import (
+        exact_local_base_coeffs)
+    from pasture_tpu.ops.kernels.voxel_reduce_kernel import REDUCE_BLOCK
+
+    n = REDUCE_BLOCK
+    tiles = 16
+    l = n // tiles
+    leaf = 0.5
+    scale = np.asarray([0.001, 0.001, 0.001], np.float32)
+    assert leaf <= exact_local_max_leaf(scale, "floor")
+    th = 0.25
+    rot = np.asarray([[np.cos(th), -np.sin(th), 0.0],
+                      [np.sin(th), np.cos(th), 0.0],
+                      [0.0, 0.0, 1.0]], np.float32)
+    trans = np.asarray([10.0, -5.0, 2.0], np.float32)
+    # spatially-disjoint z-slabs, 500 locals (= 1 leaf) each
+    zs = np.concatenate([rng.integers(i * 500, (i + 1) * 500, l)
+                         for i in range(tiles)])
+    local = np.stack([rng.integers(0, 100_000, n),
+                      rng.integers(0, 100_000, n), zs],
+                     axis=1).astype(np.int32)
+    world = ((local.astype(np.float32) * scale) @ rot.T
+             + trans).astype(np.float32)
+    inten = rng.integers(0, 65536, n).astype(np.uint16)
+    cls = rng.integers(0, 32, n).astype(np.uint8)
+    schema = PointSchema.from_attributes(
+        [att.POSITION_3D, att.INTENSITY, att.CLASSIFICATION])
+    count = n - 777
+    bmin = jnp.asarray(world.min(axis=0))
+    bounds = (bmin, None)
+
+    for sem in ("floor", "nearest"):
+        coeffs = exact_local_base_coeffs(
+            jnp.asarray(scale), jnp.asarray(rot), jnp.asarray(trans),
+            bmin, leaf, semantics=sem)
+        keys, rword = fused_voxel_head_exact_local(
+            jnp.asarray(local), jnp.asarray(scale), jnp.asarray(rot),
+            jnp.asarray(trans), bmin, leaf, coeffs, semantics=sem,
+            interpret=True)
+
+        # reference: exact-f32 path on the SAME keys
+        fbatch = PointBatch(
+            {att.POSITION_3D.name: jnp.asarray(world),
+             att.INTENSITY.name: jnp.asarray(inten),
+             att.CLASSIFICATION.name: jnp.asarray(cls)},
+            jnp.asarray(count, jnp.int32), schema, {})
+        want = voxel_downsample(fbatch, leaf, bounds=bounds, semantics=sem,
+                                grid_bits=10, sort_tiles=tiles,
+                                precomputed=(keys, None))
+
+        nopos = PointBatch(
+            {att.INTENSITY.name: jnp.asarray(inten),
+             att.CLASSIFICATION.name: jnp.asarray(cls)},
+            jnp.asarray(count, jnp.int32), schema, {})
+        affine = (jnp.asarray(scale), jnp.asarray(rot), jnp.asarray(trans),
+                  coeffs)
+        results = {}
+        for forced in (False, True):
+            voxel_mod._FORCE_FUSED_REDUCE = forced
+            try:
+                results[forced] = voxel_downsample(
+                    nopos, leaf, bounds=bounds, semantics=sem,
+                    grid_bits=10, sort_tiles=tiles,
+                    precomputed=(keys, rword), local_affine=affine)
+            finally:
+                voxel_mod._FORCE_FUSED_REDUCE = None
+
+        for forced, got in results.items():
+            assert int(got.count) == int(want.count), (sem, forced)
+            nv = int(want.count)
+            for name in (att.INTENSITY.name, att.CLASSIFICATION.name):
+                np.testing.assert_array_equal(
+                    np.asarray(want.data[name])[:nv],
+                    np.asarray(got.data[name])[:nv],
+                    err_msg=f"{sem} forced={forced} {name}")
+            np.testing.assert_allclose(
+                np.asarray(want.data[att.POSITION_3D.name])[:nv],
+                np.asarray(got.data[att.POSITION_3D.name])[:nv],
+                atol=2e-4, err_msg=f"{sem} forced={forced}")
+
+        # f64 oracle: affine of the exact local mean per (tile, voxel)
+        # (sort_tiles semantics: one centroid per tile a voxel touches)
+        kx, ky, kz = (np.asarray(c) for c in morton_decode_u32(keys))
+        groups = {}
+        for i in range(count):
+            groups.setdefault((i // l, kx[i], ky[i], kz[i]),
+                              []).append(i)
+        got = results[True]
+        nv = int(got.count)
+        assert nv == len(groups)
+        gp = np.asarray(got.data[att.POSITION_3D.name])[:nv]
+        oracle = np.stack([
+            (local[m].astype(np.float64).mean(axis=0) * scale) @ rot.T
+            + trans for m in map(list, groups.values())])
+        for j in range(nv):
+            d = np.linalg.norm(oracle - gp[j][None, :], axis=1)
+            assert d.min() < 5e-4, (sem, j, d.min())
