@@ -21,8 +21,10 @@ from typing import List, Optional, Union
 import jax.numpy as jnp
 import numpy as np
 
+from .buffers.device import PointBatch
 from .buffers.host import HostPointBuffer
 from .layout import attributes as att
+from .layout.schema import PointSchema
 from .registration import PoseGraph, icp, optimize_pose_graph
 from .registration.se3 import transform_points
 
@@ -55,23 +57,77 @@ class RegistrationPipeline:
                  max_correspondence_distance: float = 1.0,
                  icp_iterations: int = 20,
                  keyframe_distance: float = 0.5,
-                 point_to_plane: bool = True) -> None:
+                 point_to_plane: bool = True,
+                 mesh=None, distributed_halo: int = 512,
+                 distributed_capacity_factor: float = 4.0) -> None:
+        """``mesh`` (opt-in distributed mode): a
+        :func:`pasture_tpu.parallel.points_mesh` — scan-to-keyframe
+        alignment then runs
+        :func:`~pasture_tpu.parallel.distributed.distributed_icp_partitioned`
+        (both clouds Morton-partitioned, ``distributed_halo`` boundary
+        rows exchanged) instead of single-device :func:`icp`."""
         self.voxel_size = voxel_size
         self.max_corr = max_correspondence_distance
         self.icp_iterations = icp_iterations
         self.keyframe_distance = keyframe_distance
         self.point_to_plane = point_to_plane
+        self.mesh = mesh
+        self.distributed_halo = distributed_halo
+        self.distributed_capacity_factor = distributed_capacity_factor
         self.keyframes: List[_Keyframe] = []
         self._edges: List[tuple] = []     # (i, j, rel_rot, rel_t)
         self._last_result = None
 
     # ---- ingest ---------------------------------------------------------------
     def _downsample(self, pos: np.ndarray) -> np.ndarray:
-        if self.voxel_size <= 0:
+        """Device voxel-grid downsample, centroid (mean) policy — the
+        same engine as the headline bench (ops/voxel.py; reduction
+        semantics per voxel_grid.rs:443-700).  Grid anchored at the cloud
+        minimum with ``floor`` binning."""
+        if self.voxel_size <= 0 or len(pos) == 0:
             return pos
-        cell = np.floor((pos - pos.min(axis=0)) / self.voxel_size)
-        _, idx = np.unique(cell.astype(np.int64), axis=0, return_index=True)
-        return pos[np.sort(idx)]
+        from .ops import voxel_downsample
+        schema = PointSchema.from_attributes([att.POSITION_3D])
+        cap = max(-(-len(pos) // 8) * 8, 8)
+        col = jnp.asarray(np.pad(pos, [(0, cap - len(pos)), (0, 0)]))
+        batch = PointBatch({att.POSITION_3D.name: col},
+                           jnp.asarray(len(pos), jnp.int32), schema, {})
+        out = voxel_downsample(batch, self.voxel_size,
+                               bounds=(jnp.asarray(pos.min(axis=0)), None),
+                               semantics="floor")
+        n = int(out.count)
+        return np.asarray(out.data[att.POSITION_3D.name][:n], np.float64)
+
+    def _align(self, src: np.ndarray, tgt: np.ndarray):
+        """One scan-to-keyframe alignment: single-device ICP, or the
+        partitioned distributed path when a mesh was supplied."""
+        if self.mesh is None:
+            return icp(jnp.asarray(src), jnp.asarray(tgt),
+                       max_correspondence_distance=self.max_corr,
+                       iterations=self.icp_iterations,
+                       point_to_plane=self.point_to_plane)
+        from .parallel.distributed import distributed_icp_partitioned
+
+        def batch_of(p):
+            schema = PointSchema.from_attributes([att.POSITION_3D])
+            cap = max(-(-len(p) // 8) * 8, 8)
+            col = jnp.asarray(np.pad(np.asarray(p, np.float64),
+                                     [(0, cap - len(p)), (0, 0)]))
+            return PointBatch({att.POSITION_3D.name: col},
+                              jnp.asarray(len(p), jnp.int32), schema, {})
+
+        result, dropped = distributed_icp_partitioned(
+            batch_of(src), batch_of(tgt), self.mesh,
+            halo=self.distributed_halo,
+            capacity_factor=self.distributed_capacity_factor,
+            max_correspondence_distance=self.max_corr,
+            iterations=self.icp_iterations,
+            point_to_plane=self.point_to_plane)
+        if int(dropped) != 0:
+            raise RuntimeError(
+                f"distributed partitioning dropped {int(dropped)} points "
+                f"— raise capacity_factor / rebalance the partition")
+        return result
 
     def add_scan(self, scan: Union[HostPointBuffer, np.ndarray]) -> None:
         pos = self._downsample(_positions(scan))
@@ -79,10 +135,7 @@ class RegistrationPipeline:
             self.keyframes.append(_Keyframe(pos, np.eye(3), np.zeros(3)))
             return
         ref = self.keyframes[-1]
-        result = icp(jnp.asarray(pos), jnp.asarray(ref.points),
-                     max_correspondence_distance=self.max_corr,
-                     iterations=self.icp_iterations,
-                     point_to_plane=self.point_to_plane)
+        result = self._align(pos, ref.points)
         rel_rot = np.asarray(result.rotation, np.float64)
         rel_t = np.asarray(result.translation, np.float64)
         self._last_result = result
@@ -100,11 +153,8 @@ class RegistrationPipeline:
         """Add an edge between keyframes i and j.  Without an explicit
         measurement, ICP aligns keyframe j's points to keyframe i's."""
         if rel_rotation is None or rel_translation is None:
-            result = icp(jnp.asarray(self.keyframes[j].points),
-                         jnp.asarray(self.keyframes[i].points),
-                         max_correspondence_distance=self.max_corr,
-                         iterations=self.icp_iterations,
-                         point_to_plane=self.point_to_plane)
+            result = self._align(self.keyframes[j].points,
+                                 self.keyframes[i].points)
             rel_rotation = np.asarray(result.rotation, np.float64)
             rel_translation = np.asarray(result.translation, np.float64)
         self._edges.append((i, j, rel_rotation, rel_translation))

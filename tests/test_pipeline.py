@@ -28,3 +28,46 @@ def test_pipeline_builds_consistent_map(rng):
     # merged map should be roughly scene-sized, not 5x
     mp = pipe.map_points()
     assert len(mp) < 2.0 * len(scene)
+
+
+def test_pipeline_downsample_is_ops_voxelization(rng):
+    """The pipeline's downsample IS the ops-layer centroid voxelization
+    (round-2 verdict: the flagship composition must exercise the flagship
+    kernels, not a host np.unique shortcut)."""
+    pos = rng.uniform(-3, 3, (2000, 3))
+    pipe = RegistrationPipeline(voxel_size=0.25)
+    got = pipe._downsample(pos)
+
+    # independent host-side centroid-per-cell oracle
+    cell = np.floor((pos - pos.min(axis=0)) / 0.25).astype(np.int64)
+    key = (cell[:, 0] << 42) | (cell[:, 1] << 21) | cell[:, 2]
+    order = np.argsort(key, kind="stable")
+    uk, starts = np.unique(key[order], return_index=True)
+    expect = np.add.reduceat(pos[order], starts, axis=0) \
+        / np.diff(np.append(starts, len(pos)))[:, None]
+    assert len(got) == len(uk)
+    np.testing.assert_allclose(
+        np.asarray(sorted(map(tuple, got))),
+        np.asarray(sorted(map(tuple, expect))), atol=1e-9)
+
+
+def test_pipeline_distributed_mode(rng):
+    """Opt-in distributed mode: the partitioned scan-to-map ICP over the
+    virtual device mesh reproduces the single-device trajectory."""
+    from pasture_tpu.parallel import make_mesh
+
+    u = rng.uniform(-6, 6, (1500, 2))
+    z = np.sin(u[:, 0]) + 0.4 * np.cos(u[:, 1] * 1.3)
+    scene = np.stack([u[:, 0], u[:, 1], z], axis=1)
+    true_t = [np.asarray([0.5 * k, 0.2 * k, 0.0]) for k in range(3)]
+    scans = [scene - t + rng.normal(0, 0.003, scene.shape) for t in true_t]
+
+    mesh = make_mesh(4)
+    pipe = RegistrationPipeline(voxel_size=0.05, keyframe_distance=0.3,
+                                icp_iterations=25, mesh=mesh,
+                                distributed_halo=512)
+    for s in scans:
+        pipe.add_scan(s)
+    assert len(pipe.keyframes) == 3
+    np.testing.assert_allclose(pipe.trajectory(), np.stack(true_t),
+                               atol=0.03)
