@@ -66,8 +66,8 @@ def nearest_neighbors(query: jnp.ndarray, points: jnp.ndarray,
 def morton_nearest_target(moved: jnp.ndarray, source_valid: jnp.ndarray,
                           target: jnp.ndarray, target_valid: jnp.ndarray,
                           bounds_min: jnp.ndarray, extent: jnp.ndarray,
-                          window: int
-                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                          window: int,
+                          target_normals: Optional[jnp.ndarray] = None):
     """Approximate nearest-target of each source point in O((N+M)·window).
 
     The brute-force matmul correspondence is O(N·M) — prohibitive beyond
@@ -77,11 +77,15 @@ def morton_nearest_target(moved: jnp.ndarray, source_valid: jnp.ndarray,
     running-min over static shifts, so there is not a single gather, and
     the matched positions ride a second sort back to source order.
 
-    Returns ``(matched_positions (N, 3), sq_distances (N,))``; a source
-    point whose true nearest target falls outside the window gets a
-    farther match (weighted down or rejected by the caller's
-    max-correspondence gate) — same locality contract as the window
-    normals and the ring-halo distributed paths.
+    Returns ``(matched_positions (N, 3), sq_distances (N,))``; with
+    ``target_normals`` the matched target's normal rides the same sorts
+    and running-min (the point-to-plane path; parallel/distributed.py
+    ships halo normals the same way) and a third element
+    ``matched_normals (N, 3)`` is returned.  A source point whose true
+    nearest target falls outside the window gets a farther match
+    (weighted down or rejected by the caller's max-correspondence gate)
+    — same locality contract as the window normals and the ring-halo
+    distributed paths.
     """
     from ..math.morton import morton_encode_dual32
 
@@ -89,6 +93,7 @@ def morton_nearest_target(moved: jnp.ndarray, source_valid: jnp.ndarray,
     dtype = moved.dtype
     big = jnp.asarray(jnp.inf, dtype)
     inval = jnp.uint32(0xFFFFFFFF)
+    with_normals = target_normals is not None
 
     pos = jnp.concatenate([moved, target])
     valid = jnp.concatenate([source_valid, target_valid])
@@ -105,9 +110,13 @@ def morton_nearest_target(moved: jnp.ndarray, source_valid: jnp.ndarray,
     hi = jnp.where(valid, hi, inval)
     lo = jnp.where(valid, lo, inval)
     flag = is_src.astype(jnp.uint32)
-    shi, _, sflag, sidx, sx, sy, sz = jax.lax.sort(
-        (hi, lo, flag, idx, pos[:, 0], pos[:, 1], pos[:, 2]), num_keys=2,
-        is_stable=False)
+    ops = (hi, lo, flag, idx, pos[:, 0], pos[:, 1], pos[:, 2])
+    if with_normals:
+        nrm_full = jnp.concatenate(
+            [jnp.zeros((n, 3), dtype), target_normals.astype(dtype)])
+        ops = ops + (nrm_full[:, 0], nrm_full[:, 1], nrm_full[:, 2])
+    sorted_ops = jax.lax.sort(ops, num_keys=2, is_stable=False)
+    shi, _, sflag, sidx, sx, sy, sz = sorted_ops[:7]
     sp = jnp.stack([sx, sy, sz], axis=1)
     svalid = shi != inval
     cand_ok = svalid & (sflag == 0)          # valid TARGET rows only
@@ -116,9 +125,15 @@ def morton_nearest_target(moved: jnp.ndarray, source_valid: jnp.ndarray,
     w = window
     pad = jnp.full((w, 3), jnp.inf, dtype)
     cpp = jnp.concatenate([pad, cp, pad])
+    if with_normals:
+        sn = jnp.stack(sorted_ops[7:10], axis=1)
+        cnn = jnp.concatenate([jnp.zeros((w, 3), dtype),
+                               jnp.where(cand_ok[:, None], sn, 0.0),
+                               jnp.zeros((w, 3), dtype)])
 
     bestd2 = jnp.full((n + m,), big)
     bpos = jnp.zeros((n + m, 3), dtype)
+    bnrm = jnp.zeros((n + m, 3), dtype)
     for s in range(-w, w + 1):
         q = jax.lax.dynamic_slice_in_dim(cpp, w + s, n + m, axis=0)
         d = sp - q
@@ -127,12 +142,21 @@ def morton_nearest_target(moved: jnp.ndarray, source_valid: jnp.ndarray,
         better = d2 < bestd2
         bestd2 = jnp.where(better, d2, bestd2)
         bpos = jnp.where(better[:, None], q, bpos)
+        if with_normals:
+            qn = jax.lax.dynamic_slice_in_dim(cnn, w + s, n + m, axis=0)
+            bnrm = jnp.where(better[:, None], qn, bnrm)
 
     # back to source order: target rows' huge ids sort behind all sources
-    _, d2o, bx, by, bz = jax.lax.sort(
-        (sidx, bestd2, bpos[:, 0], bpos[:, 1], bpos[:, 2]), num_keys=1,
-        is_stable=False)
-    return jnp.stack([bx[:n], by[:n], bz[:n]], axis=1), d2o[:n]
+    unsort = (sidx, bestd2, bpos[:, 0], bpos[:, 1], bpos[:, 2])
+    if with_normals:
+        unsort = unsort + (bnrm[:, 0], bnrm[:, 1], bnrm[:, 2])
+    out = jax.lax.sort(unsort, num_keys=1, is_stable=False)
+    _, d2o, bx, by, bz = out[:5]
+    matched = jnp.stack([bx[:n], by[:n], bz[:n]], axis=1)
+    if with_normals:
+        mn = jnp.stack([out[5][:n], out[6][:n], out[7][:n]], axis=1)
+        return matched, d2o[:n], mn
+    return matched, d2o[:n]
 
 
 def _solve_gn(h: jnp.ndarray, b: jnp.ndarray, damping: float) -> jnp.ndarray:
@@ -195,8 +219,12 @@ def icp(source: jnp.ndarray, target: jnp.ndarray,
     ``correspondence``: ``"exact"`` — brute-force MXU nearest neighbour,
     O(N·M) per iteration (right up to ~100k-point maps); ``"morton"`` —
     Morton-window matching, O((N+M)·window) per iteration
-    (:func:`morton_nearest_target`), the multi-million-point path
-    (point-to-point only).
+    (:func:`morton_nearest_target`), the multi-million-point path.
+    Point-to-plane composes with both: on the morton path target normals
+    default to the scalable Morton-window fit
+    (algorithms.normals._morton_window_normals) and the matched normal
+    rides the correspondence sorts — the same construction the
+    partitioned distributed path uses (parallel/distributed.py).
     """
     dtype = source.dtype
     if source_valid is None:
@@ -205,17 +233,20 @@ def icp(source: jnp.ndarray, target: jnp.ndarray,
         target_valid = jnp.ones(target.shape[0], bool)
     if correspondence not in ("exact", "morton"):
         raise ValueError(f"unknown correspondence {correspondence!r}")
-    if correspondence == "morton" and point_to_plane:
-        raise ValueError("point_to_plane requires correspondence='exact'")
     rot0 = jnp.eye(3, dtype=dtype) if init_rotation is None \
         else init_rotation.astype(dtype)
     t0 = jnp.zeros(3, dtype) if init_translation is None \
         else init_translation.astype(dtype)
     if point_to_plane:
         if target_normals is None:
-            from ..algorithms.normals import _normals_device
-            target_normals, _ = _normals_device(target, target_valid, 16,
-                                                tile)
+            if correspondence == "morton":
+                from ..algorithms.normals import _morton_window_normals
+                target_normals, _ = _morton_window_normals(
+                    target, target_valid, 10, max(window, 32))
+            else:
+                from ..algorithms.normals import _normals_device
+                target_normals, _ = _normals_device(target, target_valid,
+                                                    16, tile)
         target_normals = target_normals.astype(dtype)
     else:
         target_normals = jnp.zeros_like(target)
@@ -236,6 +267,10 @@ def icp(source: jnp.ndarray, target: jnp.ndarray,
         zero_n = jnp.zeros((source.shape[0], 3), dtype)
 
         def corr_fn(moved):
+            if point_to_plane:
+                return morton_nearest_target(
+                    moved, source_valid, target, target_valid, tmin,
+                    extent, window, target_normals=target_normals)
             matched, d2 = morton_nearest_target(
                 moved, source_valid, target, target_valid, tmin, extent,
                 window)

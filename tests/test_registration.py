@@ -202,9 +202,31 @@ def test_icp_morton_correspondence_matches_exact(rng):
                                np.asarray(exact.rotation), atol=2e-3)
 
 
-def test_icp_morton_point_to_plane_rejected():
-    with pytest.raises(ValueError, match="point_to_plane"):
-        icp(jnp.zeros((8, 3)), jnp.zeros((8, 3)),
-            correspondence="morton", point_to_plane=True)
+def test_icp_unknown_correspondence_rejected():
     with pytest.raises(ValueError, match="unknown correspondence"):
         icp(jnp.zeros((8, 3)), jnp.zeros((8, 3)), correspondence="kdtree")
+
+
+def test_icp_morton_point_to_plane_matches_exact(rng):
+    """Morton-window point-to-plane (matched normals ride the
+    correspondence sorts, window-fit target normals — the same
+    construction as the partitioned distributed path) converges to the
+    exact-correspondence point-to-plane result."""
+    u = rng.uniform(-3, 3, (4096, 2))
+    z = 0.3 * np.sin(u[:, 0] * 2) + 0.2 * np.cos(u[:, 1] * 1.5)
+    target = np.stack([u[:, 0], u[:, 1], z], axis=1)
+    t_true = np.array([0.1, -0.08, 0.05])
+    source = target - t_true
+
+    exact = icp(jnp.asarray(source), jnp.asarray(target),
+                max_correspondence_distance=2.0, iterations=10,
+                point_to_plane=True)
+    fast = icp(jnp.asarray(source), jnp.asarray(target),
+               max_correspondence_distance=2.0, iterations=10,
+               correspondence="morton", window=64, point_to_plane=True)
+    np.testing.assert_allclose(np.asarray(fast.translation), t_true,
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(fast.translation),
+                               np.asarray(exact.translation), atol=3e-3)
+    np.testing.assert_allclose(np.asarray(fast.rotation),
+                               np.asarray(exact.rotation), atol=3e-3)
