@@ -144,6 +144,8 @@ def _native(required: bool = False):
     lib.laz_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
     lib.laz_set_point14_tables.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
     lib.laz_set_point14_tables.restype = None
+    lib.laz_get_point14_tables.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.laz_get_point14_tables.restype = None
     _lib = lib
     return lib
 
@@ -151,15 +153,37 @@ def _native(required: bool = False):
 def set_point14_tables(map_6ctx: Optional[bytes] = None,
                        level_8ctx: Optional[bytes] = None) -> None:
     """Override the layered codec's (number_of_returns, return_number) ->
-    context tables (two 16x16 row-major byte tables).  The built-in tables
-    are verified bit-exact against the laszip-produced reference fixtures;
-    this hook exists as an escape hatch should an entry not exercised by
-    those fixtures ever prove divergent on a real-world file."""
+    context tables (two 16x16 row-major byte tables).  The built-in
+    tables are a structural reconstruction of laszip's
+    ``number_return_map_6ctx`` / ``number_return_level_8ctx``
+    (``src/lasreaditemcompressed_v3.cpp``); the reference fixtures decode
+    table-invariantly and cannot confirm them (LIMITATIONS.md,
+    tests/test_laz_tables.py).  Inject the authoritative arrays here —
+    no rebuild needed — whenever they become retrievable."""
     lib = _native(required=True)
     for t in (map_6ctx, level_8ctx):
         if t is not None and len(t) != 256:
             raise ValueError("context tables must be 256 bytes (16x16)")
     lib.laz_set_point14_tables(map_6ctx, level_8ctx)
+
+
+def get_point14_tables() -> tuple:
+    """Return the ACTIVE layered-codec context tables as two 256-byte
+    row-major 16x16 byte strings ``(map_6ctx, level_8ctx)``.  Lets
+    table-sensitivity tests snapshot/restore around perturbations.
+
+    Provenance of the built-in tables: the authoritative values live in
+    LASzip's ``src/lasreaditemcompressed_v3.cpp`` /
+    ``laswriteitemcompressed_v3.cpp`` (arrays
+    ``number_return_map_6ctx`` and ``number_return_level_8ctx``,
+    laszip >= 3.0); when network access exists, inject those exact
+    arrays via :func:`set_point14_tables` to remove any reconstruction
+    risk (LIMITATIONS.md)."""
+    lib = _native(required=True)
+    m = ctypes.create_string_buffer(256)
+    l8 = ctypes.create_string_buffer(256)
+    lib.laz_get_point14_tables(m, l8)
+    return m.raw, l8.raw
 
 
 def _pack_items(items) -> "ctypes.Array":

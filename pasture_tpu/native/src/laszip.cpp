@@ -1253,9 +1253,14 @@ struct Bytev2 {
 // (number_of_returns, return_number) -> context tables of the published
 // LASzip laspoint14 scheme.  The 6-context map is the symmetric banded
 // merge of the v2 8x8 map onto 6 context groups; the 8-level table is
-// clamp(|n - r|, 0, 7).  Both validated bit-exact against the
-// laszip-produced reference fixtures; laz_set_point14_tables() allows
-// injection should a divergent entry ever surface on other files.
+// clamp(|n - r|, 0, 7).  PROVENANCE CAVEAT: this is a STRUCTURAL
+// reconstruction of laszip's number_return_map_6ctx /
+// number_return_level_8ctx (src/lasreaditemcompressed_v3.cpp) — the
+// 10-point reference fixtures decode table-INVARIANTLY (see
+// tests/test_laz_tables.py census), so they cannot confirm any entry.
+// Encoder/decoder self-consistency over every entry IS tested
+// (full-coverage synthetic archive); laz_set_point14_tables() injects
+// the authoritative arrays without a rebuild when retrievable.
 static U8 number_return_map_6ctx[16][16] = {
     {0, 1, 2, 3, 4, 5, 3, 4, 4, 5, 5, 5, 5, 5, 5, 5},
     {1, 0, 1, 3, 4, 5, 3, 4, 4, 5, 5, 5, 5, 5, 5, 5},
@@ -2815,8 +2820,102 @@ void laz_set_point14_tables(const uint8_t* map_6ctx,
   if (level_8ctx) std::memcpy(number_return_level_8ctx, level_8ctx, 256);
 }
 
+// Read back the active tables (table-sensitivity tests snapshot them
+// before perturbation and restore afterwards).
+void laz_get_point14_tables(uint8_t* map_6ctx, uint8_t* level_8ctx) {
+  init_level_8ctx();
+  if (map_6ctx) std::memcpy(map_6ctx, number_return_map_6ctx, 256);
+  if (level_8ctx) std::memcpy(level_8ctx, number_return_level_8ctx, 256);
+}
+
 // Round-trip self-test of the coder primitives; returns 0 or a negative
 // code identifying the first failing stage.
+// Deinterleave fixed-size wire records into contiguous per-field
+// columns — the host-ingest hot loop (SURVEY §3.1; the reference leans
+// on mmap + per-point closures, raw_readers.rs:31-167).  numpy's
+// strided field extraction re-walks the 30-60B records once PER FIELD;
+// this walks them once per L2-sized row block and emits every column,
+// parallel over row blocks.
+void laz_deinterleave(const uint8_t* records, uint64_t n,
+                      uint32_t record_size, const uint32_t* offsets,
+                      const uint32_t* sizes, uint32_t n_fields,
+                      uint8_t* const* outs, int nthreads) {
+  const uint64_t block = 4096;
+  auto do_range = [&](uint64_t lo, uint64_t hi) {
+    for (uint64_t b0 = lo; b0 < hi; b0 += block) {
+      uint64_t b1 = std::min(b0 + block, hi);
+      for (uint32_t f = 0; f < n_fields; f++) {
+        const uint8_t* src = records + b0 * record_size + offsets[f];
+        uint32_t sz = sizes[f];
+        uint8_t* dst = outs[f] + b0 * sz;
+        switch (sz) {
+          case 1:
+            for (uint64_t i = b0; i < b1; i++, src += record_size)
+              *dst++ = *src;
+            break;
+          case 2:
+            for (uint64_t i = b0; i < b1; i++, src += record_size) {
+              uint16_t v;
+              std::memcpy(&v, src, 2);
+              std::memcpy(dst, &v, 2);
+              dst += 2;
+            }
+            break;
+          case 4:
+            for (uint64_t i = b0; i < b1; i++, src += record_size) {
+              uint32_t v;
+              std::memcpy(&v, src, 4);
+              std::memcpy(dst, &v, 4);
+              dst += 4;
+            }
+            break;
+          case 8:
+            for (uint64_t i = b0; i < b1; i++, src += record_size) {
+              uint64_t v;
+              std::memcpy(&v, src, 8);
+              std::memcpy(dst, &v, 8);
+              dst += 8;
+            }
+            break;
+          case 12:
+            for (uint64_t i = b0; i < b1; i++, src += record_size) {
+              uint64_t v;
+              uint32_t w;
+              std::memcpy(&v, src, 8);
+              std::memcpy(&w, src + 8, 4);
+              std::memcpy(dst, &v, 8);
+              std::memcpy(dst + 8, &w, 4);
+              dst += 12;
+            }
+            break;
+          default:
+            for (uint64_t i = b0; i < b1; i++, src += record_size) {
+              std::memcpy(dst, src, sz);
+              dst += sz;
+            }
+        }
+      }
+    }
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  uint64_t nt = std::min<uint64_t>(
+      nthreads > 0 ? (uint64_t)nthreads : (hw ? hw : 1),
+      std::max<uint64_t>(n / (4 * block), 1));
+  if (nt <= 1) {
+    do_range(0, n);
+    return;
+  }
+  std::vector<std::thread> pool;
+  // block-aligned split so two threads never share an output cache line
+  uint64_t per = ((n + nt - 1) / nt + block - 1) / block * block;
+  for (uint64_t t = 0; t < nt; t++) {
+    uint64_t lo = t * per, hi = std::min(lo + per, n);
+    if (lo >= hi) break;
+    pool.emplace_back(do_range, lo, hi);
+  }
+  for (auto& th : pool) th.join();
+}
+
 int laz_selftest() {
   // stage 1: bit model
   {
