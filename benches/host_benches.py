@@ -122,6 +122,32 @@ def main(n=1_000_000):
         report("laz_read", n, timed(
             lambda: LasReader(io.BytesIO(laz_bytes),
                               compressed=True).read_all(), repeats=3))
+
+        # LAZ codec thread-scaling sweep (chunk-parallel decompression;
+        # small chunks so the file has >= 64 chunks even at 1M points).
+        # NOTE: the sweep measures the MACHINE too — on a 2-core host
+        # expect ~2x at best (report nproc alongside).
+        import ctypes
+        import os as _os
+        zs2 = io.BytesIO()
+        w2 = LasWriter(zs2, buf.schema, compressed=True,
+                       laz_chunk_size=8192)
+        w2.write(buf)
+        w2.flush()
+        r2 = LasReader(io.BytesIO(zs2.getvalue()), compressed=True)
+        laz2, h2 = r2._laz, r2.header
+        for nt in (1, 2, 4, 8):
+            out = ctypes.create_string_buffer(
+                h2.point_count * h2.point_record_length)
+            def dec(nt=nt, out=out):
+                rc = laz2._lib.laz_decompress(
+                    laz2._data, len(laz2._data), h2.offset_to_point_data,
+                    h2.point_count, h2.point_record_length,
+                    laz2.vlr.chunk_size, laz2._items, laz2._nitems, 0,
+                    h2.point_count, out, nt)
+                assert rc == 0
+            report(f"laz_decode_threads_{nt}_of_{_os.cpu_count()}cores",
+                   n, timed(dec, repeats=3))
     except NotImplementedError:
         pass
 

@@ -130,7 +130,7 @@ class LasReader(PointReader, SeekToPoint):
         else:
             rec = self._records[start:stop]
 
-        columns = {m.name: rec[m.name] for m in self._exact_schema.members}
+        columns = self._extract_columns(rec, n)
         if schema == self._exact_schema:
             cols = {k: np.ascontiguousarray(v) for k, v in columns.items()}
             return HostPointBuffer(self._exact_schema, cols, validate=False)
@@ -142,6 +142,32 @@ class LasReader(PointReader, SeekToPoint):
             self._converters[schema] = conv
         out_cols = conv.convert(columns)
         return HostPointBuffer(schema, out_cols, validate=False)
+
+    def _extract_columns(self, rec: np.ndarray, n: int) -> Dict[str, np.ndarray]:
+        """Record -> contiguous columns.  numpy's strided field access
+        re-walks the full record block once PER FIELD; for large reads
+        the native C++ deinterleaver (laszip.cpp laz_deinterleave) walks
+        it once per L2 block and emits every column, threads across row
+        ranges — the host-ingest hot loop (SURVEY §3.1)."""
+        if n >= 16384:
+            try:
+                from ...native.laszip import _native, deinterleave_records
+                native = _native()
+            except Exception:
+                native = None
+            if native is not None:
+                members = self._exact_schema.members
+                fields = [(m.offset, m.dtype.np_component_dtype, m.size)
+                          for m in members]
+                outs = deinterleave_records(
+                    rec, n, self._exact_schema.point_size, fields)
+                cols = {}
+                for m, arr in zip(members, outs):
+                    shape = m.dtype.np_shape
+                    cols[m.name] = (arr if shape == ()
+                                    else arr.reshape((n,) + shape))
+                return cols
+        return {m.name: rec[m.name] for m in self._exact_schema.members}
 
     # ---- SeekToPoint ----------------------------------------------------------
     def seek_point(self, index: int) -> int:

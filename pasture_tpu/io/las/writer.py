@@ -73,7 +73,8 @@ class LasWriter(PointWriter):
                  header: Optional[LasHeader] = None,
                  compressed: Optional[bool] = None,
                  scale: float = 0.001,
-                 write_extra_bytes: bool = False) -> None:
+                 write_extra_bytes: bool = False,
+                 laz_chunk_size: Optional[int] = None) -> None:
         if isinstance(path_or_stream, (str, Path)):
             if compressed is None:
                 compressed = path_is_compressed_las_file(path_or_stream)
@@ -112,12 +113,17 @@ class LasWriter(PointWriter):
             from ...native.laszip import (LASZIP_RECORD_ID, LASZIP_USER_ID,
                                           LazCompressor, build_laszip_vlr)
             if self.header.find_vlr(LASZIP_USER_ID, LASZIP_RECORD_ID) is None:
+                vlr_args = {} if laz_chunk_size is None else {
+                    "chunk_size": laz_chunk_size}
                 self.header.vlrs.append(build_laszip_vlr(
                     self.header.point_format.number,
-                    self.header.point_format.extra_bytes))
+                    self.header.point_format.extra_bytes, **vlr_args))
             self.header.is_compressed = True
             self._stream.write(self.header.serialize())
-            self._laz = LazCompressor(self._stream, self.header)
+            self._laz = (LazCompressor(self._stream, self.header)
+                         if laz_chunk_size is None else
+                         LazCompressor(self._stream, self.header,
+                                       chunk_size=laz_chunk_size))
         else:
             self._laz = None
             # reserve space for the header block; rewritten on flush

@@ -146,8 +146,51 @@ def _native(required: bool = False):
     lib.laz_set_point14_tables.restype = None
     lib.laz_get_point14_tables.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
     lib.laz_get_point14_tables.restype = None
+    lib.laz_deinterleave.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_uint32, ctypes.POINTER(ctypes.c_void_p), ctypes.c_int]
+    lib.laz_deinterleave.restype = None
     _lib = lib
     return lib
+
+
+def deinterleave_records(records, n: int, record_size: int, fields,
+                         num_threads: int = 0) -> list:
+    """Deinterleave ``n`` fixed-size wire records into contiguous
+    column buffers — the host-ingest hot loop in C++ (one pass over the
+    records per L2 block instead of numpy's one strided pass per field).
+
+    ``records``: a bytes-like of at least ``n*record_size`` bytes.
+    ``fields``: [(byte_offset, np_dtype_or_None, byte_size), ...]; each
+    output is a numpy array of that dtype (shape (n,) — callers reshape
+    multi-component fields) or raw u8 bytes when dtype is None.
+    ``num_threads`` 0 = hardware concurrency."""
+    import numpy as np
+
+    lib = _native(required=True)
+    nf = len(fields)
+    offs = (ctypes.c_uint32 * nf)(*[int(f[0]) for f in fields])
+    sizes = (ctypes.c_uint32 * nf)(*[int(f[2]) for f in fields])
+    outs = []
+    ptrs = (ctypes.c_void_p * nf)()
+    for i, (_, dt, sz) in enumerate(fields):
+        if dt is None:
+            arr = np.empty(n * sz, np.uint8)
+        else:
+            dt = np.dtype(dt)
+            assert sz % dt.itemsize == 0
+            arr = np.empty(n * (sz // dt.itemsize), dt)
+        outs.append(arr)
+        ptrs[i] = arr.ctypes.data_as(ctypes.c_void_p)
+    if hasattr(records, "ctypes"):          # numpy array: zero-copy
+        src = ctypes.cast(records.ctypes.data_as(ctypes.c_void_p),
+                          ctypes.c_char_p)
+    else:
+        src = bytes(records)
+    lib.laz_deinterleave(src, n, record_size, offs, sizes, nf, ptrs,
+                         num_threads)
+    return outs
 
 
 def set_point14_tables(map_6ctx: Optional[bytes] = None,

@@ -339,3 +339,50 @@ def test_unknown_attributes_dropped_on_write(tmp_path, rng):
     assert "MyCustomThing" not in back.schema.names
     np.testing.assert_allclose(back.get(att.POSITION_3D.name),
                                buf.get(att.POSITION_3D.name), atol=0.001)
+
+
+def test_native_deinterleave_matches_numpy_extraction(rng):
+    """The C++ record deinterleaver (host-ingest hot loop) must be
+    bit-exact with numpy strided field extraction on every column."""
+    import io
+
+    from pasture_tpu.buffers.host import HostPointBuffer
+    from pasture_tpu.native.laszip import _native
+
+    if _native() is None:
+        pytest.skip("native codec unavailable")
+    n = 20_000   # above the native-path threshold
+    schema = point_schema_from_las_format(LasPointFormat(3))
+    cols = {
+        att.POSITION_3D.name: np.round(
+            rng.uniform(-100, 100, (n, 3)), 3),
+        att.INTENSITY.name: rng.integers(0, 65536, n).astype(np.uint16),
+        att.RETURN_NUMBER.name: rng.integers(0, 8, n).astype(np.uint8),
+        att.NUMBER_OF_RETURNS.name: rng.integers(0, 8, n).astype(np.uint8),
+        att.SCAN_DIRECTION_FLAG.name:
+            rng.integers(0, 2, n).astype(np.uint8),
+        att.EDGE_OF_FLIGHT_LINE.name:
+            rng.integers(0, 2, n).astype(np.uint8),
+        att.CLASSIFICATION.name: rng.integers(0, 32, n).astype(np.uint8),
+        att.SCAN_ANGLE_RANK.name:
+            rng.integers(-90, 90, n).astype(np.int8),
+        att.USER_DATA.name: rng.integers(0, 256, n).astype(np.uint8),
+        att.POINT_SOURCE_ID.name:
+            rng.integers(0, 100, n).astype(np.uint16),
+        att.GPS_TIME.name: np.sort(rng.uniform(0, 1e5, n)),
+        att.COLOR_RGB.name: rng.integers(0, 65536, (n, 3)).astype(
+            np.uint16),
+    }
+    buf = HostPointBuffer.from_columns(schema, cols)
+    stream = io.BytesIO()
+    w = LasWriter(stream, schema)
+    w.write(buf)
+    w.flush()
+    r = LasReader(io.BytesIO(stream.getvalue()))
+    rec = r._records[0:n]
+    ref = {m.name: np.ascontiguousarray(rec[m.name])
+           for m in r._exact_schema.members}
+    got = r._extract_columns(rec, n)
+    assert set(ref) == set(got)
+    for k in ref:
+        np.testing.assert_array_equal(ref[k], got[k], err_msg=k)

@@ -237,3 +237,39 @@ def test_laz_layered_extra_bytes_roundtrip(tmp_path):
         back = r.read_all()
     np.testing.assert_array_equal(back.get("Amplitude"), buf.get("Amplitude"))
     np.testing.assert_array_equal(back.get("Width"), buf.get("Width"))
+
+
+def test_laz_custom_chunk_size_roundtrip(rng):
+    """laz_chunk_size plumbs through writer VLR + compressor consistently
+    (a mismatch decodes as a chunk-count error; regression for round 3)."""
+    n = 30_000
+    schema = point_schema_from_las_format(LasPointFormat(1))
+    cols = {
+        att.POSITION_3D.name: np.round(rng.uniform(-50, 50, (n, 3)), 3),
+        att.INTENSITY.name: rng.integers(0, 65536, n).astype(np.uint16),
+        att.RETURN_NUMBER.name: rng.integers(0, 8, n).astype(np.uint8),
+        att.NUMBER_OF_RETURNS.name: rng.integers(0, 8, n).astype(np.uint8),
+        att.SCAN_DIRECTION_FLAG.name:
+            rng.integers(0, 2, n).astype(np.uint8),
+        att.EDGE_OF_FLIGHT_LINE.name:
+            rng.integers(0, 2, n).astype(np.uint8),
+        att.CLASSIFICATION.name: rng.integers(0, 32, n).astype(np.uint8),
+        att.SCAN_ANGLE_RANK.name: rng.integers(-90, 90, n).astype(np.int8),
+        att.USER_DATA.name: rng.integers(0, 256, n).astype(np.uint8),
+        att.POINT_SOURCE_ID.name:
+            rng.integers(0, 100, n).astype(np.uint16),
+        att.GPS_TIME.name: np.sort(rng.uniform(0, 1e5, n)),
+    }
+    buf = HostPointBuffer.from_columns(schema, cols)
+    stream = io.BytesIO()
+    w = LasWriter(stream, schema, compressed=True, laz_chunk_size=4096)
+    w.write(buf)
+    w.flush()
+    back = LasReader(io.BytesIO(stream.getvalue()),
+                     compressed=True).read_all()
+    for name in schema.names:
+        got, want = np.asarray(back.get(name)), np.asarray(buf.get(name))
+        if name == att.POSITION_3D.name:
+            np.testing.assert_allclose(got, want, atol=1.001e-3)
+        else:
+            np.testing.assert_array_equal(got, want, err_msg=name)
