@@ -36,6 +36,12 @@ _BLOCK_ROWS = 512
 REDUCE_BLOCK = _BLOCK_ROWS * _LANES
 _INVALID = 0xFFFFFFFF
 
+# tiered-ladder static prefixes (stages always run; the rest sit behind
+# one lax.cond).  Module-level so perf probes can A/B them; defaults
+# chosen by measurement on v5e (benches/reduce_split_probe.py)
+_SEG_SPLIT = 4        # covers segments up to 2^_SEG_SPLIT points
+_COMPACT_SPLIT = 10   # covers compaction displacements up to 2^split
+
 
 def _flat_shift_down(x, s, fill):
     """Element i-s of x (row-major flattened); ``fill`` before the start."""
@@ -124,7 +130,8 @@ def _seg_totals(cols, first, rows, max_seg=None):
     # static prefix covers segments up to 16 points; longer ones take the
     # conditional tail
     blk, out = _tiered_ladder((blk0, tuple(cols)), stages,
-                              lambda st: jnp.any(st[0] == 0), split=4)
+                              lambda st: jnp.any(st[0] == 0),
+                              split=_SEG_SPLIT)
     return list(out)
 
 
@@ -157,7 +164,8 @@ def _seg_max(col, first, rows, neutral, max_seg=None):
         stages.append(make_stage(s))
         s <<= 1
     _, out = _tiered_ladder((blk0, col), stages,
-                            lambda st: jnp.any(st[0] == 0), split=4)
+                            lambda st: jnp.any(st[0] == 0),
+                            split=_SEG_SPLIT)
     return out
 
 
@@ -338,7 +346,8 @@ def _make_kernel(mode_bits: int, fields, qbits: int, qwindow: float,
         # that many rows before the cond tail ever fires)
         _, _, vals = _tiered_ladder(
             state, stages,
-            lambda st: jnp.any((st[1] != 0) & (st[0] > 0)), split=10)
+            lambda st: jnp.any((st[1] != 0) & (st[0] > 0)),
+            split=_COMPACT_SPLIT)
 
         px_ref[...] = vals[0]
         py_ref[...] = vals[1]
