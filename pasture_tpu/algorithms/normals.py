@@ -15,7 +15,7 @@ per-block (see pasture_tpu.parallel).
 
 from __future__ import annotations
 
-from typing import Tuple, Union
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -107,6 +107,109 @@ def _normals_device(pos: jnp.ndarray, valid: jnp.ndarray, k: int,
     tr = jnp.trace(cov, axis1=-2, axis2=-1)
     curvature = jnp.where(tr != 0.0, jnp.abs(lam0 / tr), 0.0)
     return normal, curvature
+
+
+def _normals_scan_exact(pos: jnp.ndarray, valid: jnp.ndarray, k: int,
+                        query_tile: int = 1024, chunk: int = 16384,
+                        queries: Optional[jnp.ndarray] = None):
+    """EXACT brute-force k-NN normals at any N — O(N²) compute tiled onto
+    the MXU with ZERO gathers (reference kd-tree parity at scale,
+    normal_estimation.rs:79-484; removes the ~64k cap of
+    :func:`_normals_device`).
+
+    Two passes per (query-tile, target-chunk) block:
+
+    1. running top-k scan over target chunks keeps each query's k
+       smallest distances (MXU distance matmul + ``lax.top_k`` on the
+       concat of the carry and the block's distance row) — only
+       DISTANCES are kept, never indices, so nothing is gathered;
+    2. the k-th distance becomes a per-query radius and the
+       neighbourhood moments accumulate IN EACH QUERY'S OWN FRAME from
+       masked broadcast differences (p - q): raw global second moments
+       would lose the neighbourhood variance to f32 cancellation at
+       survey-scale coordinates (E[p²] ~ 1e4 vs variance ~ 1e-4), while
+       |p - q| is bounded by the k-NN radius, so centred products stay
+       in range.
+
+    Ties at the k-th distance (e.g. duplicated points) all enter the
+    moment sums — the plane fit then averages over count ≥ k points
+    (the reference picks an arbitrary k-subset there; tie sets are
+    cohyperspherical so the fit difference is degenerate-case only).
+
+    ``queries``: fit only these rows against the full ``pos`` target set
+    (default: every row of ``pos``) — lets hosts slice very large clouds
+    into bounded device executions (compute_normals does this above
+    ~256k so a single call never runs long enough to trip remote-worker
+    execution deadlines)."""
+    qpos = pos if queries is None else queries
+    n = qpos.shape[0]
+    dtype = pos.dtype
+    padq = (-n) % query_tile
+    padc = (-pos.shape[0]) % chunk
+    qs = jnp.pad(qpos, ((0, padq), (0, 0))).reshape(-1, query_tile, 3)
+    cpos = jnp.pad(pos, ((0, padc), (0, 0))).reshape(-1, chunk, 3)
+    cval = jnp.pad(valid, (0, padc)).reshape(-1, chunk)
+    c2 = jnp.sum(cpos * cpos, axis=2)
+    big = jnp.asarray(jnp.inf, dtype)
+
+    def one_tile(qt):
+        q2 = jnp.sum(qt * qt, axis=1, keepdims=True)
+
+        def dist_block(args):
+            cp, cv, cc2 = args
+            d2 = q2 + cc2[None, :] - 2.0 * (qt @ cp.T)
+            return jnp.where(cv[None, :], d2, big)
+
+        def scan_top(run_d, args):
+            d2 = dist_block(args)
+            merged = -jax.lax.top_k(
+                -jnp.concatenate([run_d, d2], axis=1), k)[0]
+            return merged, None
+
+        run0 = jnp.full((query_tile, k), big, dtype)
+        run_d, _ = jax.lax.scan(scan_top, run0, (cpos, cval, c2))
+        thr = run_d[:, -1]
+
+        pairs = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+
+        def scan_moments(acc, args):
+            cnt, s, m6 = acc
+            cp, cv, _ = args
+            # selection uses the SAME d2 expression as pass 1, so the
+            # radius test is bit-consistent with the top-k threshold
+            d2 = dist_block(args)
+            w = (d2 <= thr[:, None]).astype(dtype)
+            cnt = cnt + jnp.sum(w, axis=1)
+            # query-frame differences (Q, T) per axis: bounded by the
+            # k-NN radius -> centred moments never cancel
+            dp = [cp[None, :, a] - qt[:, None, a] for a in range(3)]
+            s = s + jnp.stack(
+                [jnp.sum(w * dp[a], axis=1) for a in range(3)], axis=1)
+            m6 = m6 + jnp.stack(
+                [jnp.sum(w * dp[a] * dp[b], axis=1) for a, b in pairs],
+                axis=1)
+            return (cnt, s, m6), None
+
+        acc0 = (jnp.zeros((query_tile,), dtype),
+                jnp.zeros((query_tile, 3), dtype),
+                jnp.zeros((query_tile, 6), dtype))
+        (cnt, s, m6), _ = jax.lax.scan(scan_moments, acc0,
+                                       (cpos, cval, c2))
+        cnt = jnp.maximum(cnt, 1.0)
+        mean = s / cnt[:, None]                      # query-frame mean
+        mm = m6 / cnt[:, None]
+        cov = jnp.stack([
+            mm[:, 0], mm[:, 1], mm[:, 2],
+            mm[:, 1], mm[:, 3], mm[:, 4],
+            mm[:, 2], mm[:, 4], mm[:, 5]], axis=1).reshape(-1, 3, 3) \
+            - mean[:, :, None] * mean[:, None, :]
+        lam0, normal = _eigh3_smallest(cov)
+        tr = jnp.trace(cov, axis1=-2, axis2=-1)
+        curvature = jnp.where(tr != 0.0, jnp.abs(lam0 / tr), 0.0)
+        return normal, curvature
+
+    normal, curvature = jax.lax.map(one_tile, qs)
+    return normal.reshape(-1, 3)[:n], curvature.reshape(-1)[:n]
 
 
 def window_fit(sp: jnp.ndarray, pp: jnp.ndarray, k: int, w: int):
@@ -273,6 +376,11 @@ def _morton_window_normals(pos: jnp.ndarray, valid: jnp.ndarray, k: int,
 #: path by default (the O(N^2) exact path stops being viable)
 _EXACT_NORMALS_MAX = 1 << 16
 
+#: max queries per device execution of the scan-exact path (remote
+#: workers enforce execution deadlines; ~256k x 1M distance work per
+#: call stays well under them)
+_EXACT_SLICE = 1 << 18
+
 
 def compute_normals(buffer: Union[HostPointBuffer, PointBatch], k_nn: int,
                     tile: int = 2048, method: str = "auto",
@@ -280,12 +388,16 @@ def compute_normals(buffer: Union[HostPointBuffer, PointBatch], k_nn: int,
     """Per-point (normals (N,3), curvature (N,)).
 
     ``method``: ``"exact"`` — brute-force MXU k-NN, O(N²), the
-    reference-equivalent answer (right up to ~64k points); ``"morton"`` —
-    Morton-window approximate k-NN, O(N·window), the millions-of-points
-    path (see :func:`_morton_window_normals`; at the default window, ~98%
-    of normals agree with the exact path within 6 degrees and ~99.7%
+    reference-equivalent answer at ANY N (index-gather formulation up to
+    ~64k points, the zero-gather scan-tiled formulation
+    :func:`_normals_scan_exact` beyond — 1M-point exact normals complete
+    in seconds on one TPU chip, see benches/normals_bench.py);
+    ``"morton"`` — Morton-window approximate k-NN, O(N·window) (see
+    :func:`_morton_window_normals`; at the default window, ~98% of
+    normals agree with the exact path within 6 degrees and ~99.7%
     within 10 on smooth surveys — measured in tests); ``"auto"``
-    (default) picks by point count.
+    (default) picks exact below 64k and morton beyond (the exact path
+    stays available at scale via ``method="exact"``).
 
     Panics->raises like the reference for clouds of fewer than 3 points or
     ``k_nn < 3`` (normal_estimation.rs:86-92)."""
@@ -312,7 +424,19 @@ def compute_normals(buffer: Union[HostPointBuffer, PointBatch], k_nn: int,
         normal, curvature = jax.jit(
             _morton_window_normals, static_argnums=(2, 3))(
             pos, valid, k_nn, window)
-    else:
+    elif n <= _EXACT_NORMALS_MAX:
         normal, curvature = jax.jit(_normals_device, static_argnums=(2, 3))(
             pos, valid, k_nn, tile)
+    else:
+        # slice queries so no single device execution exceeds ~256k x N
+        # distance work (remote workers enforce execution deadlines)
+        fn = jax.jit(_normals_scan_exact, static_argnums=(2,))
+        step = _EXACT_SLICE
+        if n <= step:
+            normal, curvature = fn(pos, valid, k_nn)
+        else:
+            parts = [fn(pos, valid, k_nn, queries=pos[i:i + step])
+                     for i in range(0, n, step)]
+            normal = jnp.concatenate([p[0] for p in parts])
+            curvature = jnp.concatenate([p[1] for p in parts])
     return np.asarray(normal)[:n], np.asarray(curvature)[:n]

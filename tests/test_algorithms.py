@@ -309,3 +309,63 @@ def test_normals_method_validation(rng):
         compute_normals(buf, 5, method="kdtree")
     with pytest.raises(ValueError, match="window"):
         compute_normals(buf, 10, method="morton", window=4)
+
+
+def test_scan_exact_normals_match_gather_path(rng):
+    """The zero-gather scan-tiled exact k-NN (removes the ~64k cap;
+    normal_estimation.rs:79-484 parity at scale) must agree with the
+    index-gather exact path."""
+    import jax
+    import jax.numpy as jnp
+
+    from pasture_tpu.algorithms.normals import (_normals_device,
+                                                _normals_scan_exact)
+
+    u = rng.uniform(-5, 5, (8192, 2))
+    z = 0.3 * np.sin(u[:, 0] * 2) + 0.2 * np.cos(u[:, 1])
+    pos = jnp.asarray(np.stack([u[:, 0], u[:, 1], z], axis=1), jnp.float32)
+    valid = jnp.ones(8192, bool)
+    n1, c1 = jax.jit(_normals_device, static_argnums=(2, 3))(
+        pos, valid, 10, 2048)
+    n2, c2 = jax.jit(_normals_scan_exact, static_argnums=(2,))(
+        pos, valid, 10)
+    dot = np.abs(np.sum(np.asarray(n1) * np.asarray(n2), axis=1))
+    assert (dot > np.cos(np.deg2rad(1.0))).mean() > 0.995
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-3)
+
+
+def test_scan_exact_normals_at_scale(rng):
+    """EXACT normals through the >64k dispatch (scan-tiled path + query
+    slicing) via the public compute_normals(method='exact').  The
+    thresholds are shrunk so the 2-core CPU suite exercises the same
+    code paths the TPU runs at 1M+ (the real-scale run is
+    benches/normals_bench.py --exact)."""
+    import pasture_tpu.algorithms.normals as normals_mod
+    from pasture_tpu.algorithms import compute_normals
+
+    n = 24_000
+    u = rng.uniform(-40, 40, (n, 2))
+    z = 0.3 * np.sin(u[:, 0]) + 0.2 * np.cos(u[:, 1] * 1.3)
+    pos = np.stack([u[:, 0], u[:, 1], z], axis=1)
+    buf = _pos_buffer(pos.astype(np.float32))
+    old_max = normals_mod._EXACT_NORMALS_MAX
+    old_slice = normals_mod._EXACT_SLICE
+    normals_mod._EXACT_NORMALS_MAX = 4096   # force the scan path
+    normals_mod._EXACT_SLICE = 8192         # force query slicing (3 calls)
+    try:
+        nrm, curv = compute_normals(buf, 10, method="exact")
+    finally:
+        normals_mod._EXACT_NORMALS_MAX = old_max
+        normals_mod._EXACT_SLICE = old_slice
+    # oracle: the small-N exact gather path on the SAME data (the
+    # analytic surface bends over a k=10 neighbourhood at this density,
+    # so the plane fit legitimately tilts a few degrees)
+    ref, _ = compute_normals(buf, 10, method="exact")
+    dot = np.abs(np.sum(nrm * ref, axis=1))
+    assert (dot > np.cos(np.deg2rad(1.0))).mean() > 0.99
+    analytic = np.stack([-0.3 * np.cos(u[:, 0]),
+                         0.26 * np.sin(u[:, 1] * 1.3),
+                         np.ones(n)], axis=1)
+    analytic /= np.linalg.norm(analytic, axis=1, keepdims=True)
+    adot = np.abs(np.sum(nrm * analytic, axis=1))
+    assert (adot > np.cos(np.deg2rad(10.0))).mean() > 0.97
