@@ -293,3 +293,73 @@ def test_distributed_icp_partitioned_point_to_plane(mesh, rng):
                                atol=5e-3)
     np.testing.assert_allclose(np.asarray(res.rotation), np.eye(3),
                                atol=5e-3)
+
+
+def test_partitioned_icp_realistic_scene_halo_envelope(mesh, rng):
+    """Round-2 verdict #6: rotated + partially-overlapping 3-D scene (two
+    walls + rough ground — NOT a Morton-friendly diagonal), partitioned
+    scan-to-map ICP at the default halo converges to centimetre ATE; the
+    single-device Morton window's correspondence-miss rate shrinks
+    monotonically with the window (full sweep table:
+    benches/halo_envelope.py + LIMITATIONS.md)."""
+    import jax.numpy as jnp
+
+    from pasture_tpu.layout import attributes as att
+    from pasture_tpu.layout.schema import PointSchema
+    from pasture_tpu.parallel.distributed import distributed_icp_partitioned
+    from pasture_tpu.registration.icp import morton_nearest_target
+
+    n3 = 4000
+    ground = np.stack([rng.uniform(0, 20, n3), rng.uniform(0, 20, n3),
+                       0.15 * rng.standard_normal(n3)], axis=1)
+    wall1 = np.stack([rng.uniform(0, 20, n3),
+                      np.full(n3, 2.0) + 0.05 * rng.standard_normal(n3),
+                      rng.uniform(0, 5, n3)], axis=1)
+    wall2 = np.stack([np.full(n3, 15.0) + 0.05 * rng.standard_normal(n3),
+                      rng.uniform(0, 20, n3),
+                      rng.uniform(0, 5, n3)], axis=1)
+    target = np.concatenate([ground, wall1, wall2])
+    th = np.deg2rad(3.0)
+    rot_true = np.asarray([[np.cos(th), -np.sin(th), 0],
+                           [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+    t_true = np.asarray([0.3, -0.2, 0.1])
+    src_world = target[target[:, 0] < 16.0]        # partial overlap
+    source = (src_world - t_true) @ rot_true
+
+    def batch_of(p):
+        schema = PointSchema.from_attributes([att.POSITION_3D])
+        cap = max(-(-len(p) // 8) * 8, 8)
+        col = jnp.asarray(np.pad(np.asarray(p, np.float64),
+                                 [(0, cap - len(p)), (0, 0)]))
+        from pasture_tpu.buffers.device import PointBatch
+        return PointBatch({att.POSITION_3D.name: col},
+                          jnp.asarray(len(p), jnp.int32), schema, {})
+
+    res, dropped = distributed_icp_partitioned(
+        batch_of(source), batch_of(target), mesh, halo=512,
+        capacity_factor=4.0, max_correspondence_distance=1.0,
+        iterations=15)
+    assert int(dropped) == 0
+    assert np.linalg.norm(np.asarray(res.translation) - t_true) < 0.03
+    cos = (np.trace(np.asarray(res.rotation) @ rot_true.T) - 1.0) / 2.0
+    assert np.degrees(np.arccos(np.clip(cos, -1, 1))) < 0.3
+
+    # window-miss monotonicity (single-device Morton matcher, same data)
+    sv = jnp.ones(len(source), bool)
+    tv = jnp.ones(len(target), bool)
+    tmin = jnp.asarray(target.min(0))
+    extent = jnp.asarray(target.max(0) - target.min(0))
+    best = np.full(len(source), np.inf)
+    for i in range(0, len(source), 4096):
+        blk = source[i:i + 4096]
+        d = ((blk[:, None, :] - target[None, :, :]) ** 2).sum(-1)
+        best[i:i + 4096] = d.min(1)
+    misses = []
+    for w in (32, 128, 512):
+        _, d2 = morton_nearest_target(jnp.asarray(source), sv,
+                                      jnp.asarray(target), tv, tmin,
+                                      extent, w)
+        misses.append(float(np.mean(
+            np.sqrt(np.asarray(d2)) > np.sqrt(best) + 1e-3)))
+    assert misses[0] >= misses[1] >= misses[2]
+    assert misses[2] < 0.15
