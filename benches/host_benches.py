@@ -93,6 +93,30 @@ def main(n=1_000_000):
                timed(lambda b=hbuf: convex_hull_as_triangle_mesh(b),
                      repeats=3))
 
+    # record->column extraction: native threaded deinterleaver vs numpy
+    # strided field walks (the host-ingest hot loop)
+    try:
+        from pasture_tpu.native.laszip import _native, deinterleave_records
+        if _native() is not None:
+            import io as _io
+            _st = _io.BytesIO()
+            _w = LasWriter(_st, buf.schema)
+            _w.write(buf)
+            _w.flush()
+            _r = LasReader(_io.BytesIO(_st.getvalue()))
+            _rec = _r._records[0:n]
+            _members = _r._exact_schema.members
+            _fields = [(m.offset, m.dtype.np_component_dtype, m.size)
+                       for m in _members]
+            report("deinterleave_native", n, timed(
+                lambda: deinterleave_records(
+                    _rec, n, _r._exact_schema.point_size, _fields)))
+            report("deinterleave_numpy", n, timed(
+                lambda: [np.ascontiguousarray(_rec[m.name])
+                         for m in _members]))
+    except Exception:
+        pass
+
     # LAS write + read (reference las_bench)
     stream = io.BytesIO()
     def write_las():

@@ -80,6 +80,21 @@ def _extended_flag_extractors():
     ]
 
 
+def _decode_positions(p: np.ndarray, scale: np.ndarray,
+                      offset: np.ndarray) -> np.ndarray:
+    """i32 locals -> f64 world; large contiguous columns go through the
+    threaded native decode (identical f64 arithmetic)."""
+    if (p.dtype == np.int32 and len(p) >= 16384
+            and p.flags.c_contiguous):
+        try:
+            from ...native.laszip import _native, decode_positions_f64
+            if _native() is not None:
+                return decode_positions_f64(p, scale, offset)
+        except Exception:
+            pass
+    return p * scale[None, :] + offset[None, :]
+
+
 def get_default_las_converter(
     raw_las_schema: PointSchema,
     target_schema: PointSchema,
@@ -100,7 +115,7 @@ def get_default_las_converter(
         if dt_name == "Vec3f64":
             conv.set_custom_mapping_with_transformation(
                 ATTRIBUTE_LOCAL_LAS_POSITION, pos_member.attribute,
-                lambda p: p * scale[None, :] + offset[None, :],
+                lambda p: _decode_positions(p, scale, offset),
                 applies_to_source=False)
         elif dt_name == "Vec3f32":
             # f64 math, rounded to f32 at the end (raw_readers.rs:51-58)

@@ -130,7 +130,7 @@ class LasReader(PointReader, SeekToPoint):
         else:
             rec = self._records[start:stop]
 
-        columns = self._extract_columns(rec, n)
+        columns, owned = self._extract_columns(rec, n)
         if schema == self._exact_schema:
             cols = {k: np.ascontiguousarray(v) for k, v in columns.items()}
             return HostPointBuffer(self._exact_schema, cols, validate=False)
@@ -140,7 +140,7 @@ class LasReader(PointReader, SeekToPoint):
             conv = get_default_las_converter(self._exact_schema, schema,
                                              self.header)
             self._converters[schema] = conv
-        out_cols = conv.convert(columns)
+        out_cols = conv.convert(columns, assume_owned=owned)
         return HostPointBuffer(schema, out_cols, validate=False)
 
     def _extract_columns(self, rec: np.ndarray, n: int) -> Dict[str, np.ndarray]:
@@ -166,8 +166,9 @@ class LasReader(PointReader, SeekToPoint):
                     shape = m.dtype.np_shape
                     cols[m.name] = (arr if shape == ()
                                     else arr.reshape((n,) + shape))
-                return cols
-        return {m.name: rec[m.name] for m in self._exact_schema.members}
+                return cols, True   # fresh owned buffers
+        return ({m.name: rec[m.name]
+                 for m in self._exact_schema.members}, False)
 
     # ---- SeekToPoint ----------------------------------------------------------
     def seek_point(self, index: int) -> int:

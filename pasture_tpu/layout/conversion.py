@@ -77,14 +77,21 @@ def rust_as_cast(x: np.ndarray, dst: np.dtype) -> np.ndarray:
 
 
 def convert_attribute_column(
-    column: np.ndarray, from_dtype: PointDtype, to_dtype: PointDtype
+    column: np.ndarray, from_dtype: PointDtype, to_dtype: PointDtype,
+    assume_owned: bool = False
 ) -> np.ndarray:
     """Convert one SoA column between attribute dtypes.
 
     Mirrors ``get_converter_for_attributes`` (attribute_conversion.rs): unit
     conversion for equal dtypes, componentwise ``as`` casts otherwise.  The
-    component count must match (scalar->scalar, vec3->vec3, ...)."""
+    component count must match (scalar->scalar, vec3->vec3, ...).
+
+    ``assume_owned``: the caller guarantees ``column`` is a fresh
+    contiguous buffer it will not reuse (e.g. the native deinterleaver's
+    output) — identity conversions then skip the defensive copy."""
     if from_dtype.name == to_dtype.name:
+        if assume_owned and column.flags.c_contiguous:
+            return column
         return np.array(column, copy=True)
     if from_dtype.kind in ("bytes", "custom") or to_dtype.kind in ("bytes", "custom"):
         if from_dtype.size != to_dtype.size:
@@ -177,8 +184,12 @@ class SchemaConverter:
         raise ValueError(f"target attribute {target.name!r} not in to_schema")
 
     # -- execution --------------------------------------------------------------
-    def convert(self, columns: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-        """Convert SoA columns from ``from_schema`` into ``to_schema``."""
+    def convert(self, columns: Dict[str, np.ndarray],
+                assume_owned: bool = False) -> Dict[str, np.ndarray]:
+        """Convert SoA columns from ``from_schema`` into ``to_schema``.
+
+        ``assume_owned``: identity conversions may return the input
+        columns themselves (see convert_attribute_column)."""
         num_points = None
         for v in columns.values():
             num_points = len(v)
@@ -196,7 +207,8 @@ class SchemaConverter:
             src_dt = self.from_schema.attribute(m.source.name).dtype
             if m.transform is not None and m.transform_applies_to_source:
                 col = m.transform(col)
-            col = convert_attribute_column(col, src_dt, tgt_dt)
+            col = convert_attribute_column(col, src_dt, tgt_dt,
+                                           assume_owned=assume_owned)
             if m.transform is not None and not m.transform_applies_to_source:
                 col = m.transform(col)
                 col = np.ascontiguousarray(col, dtype=tgt_dt.np_component_dtype)

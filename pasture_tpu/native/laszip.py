@@ -151,8 +151,35 @@ def _native(required: bool = False):
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
         ctypes.c_uint32, ctypes.POINTER(ctypes.c_void_p), ctypes.c_int]
     lib.laz_deinterleave.restype = None
+    lib.laz_decode_positions.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int]
+    lib.laz_decode_positions.restype = None
     _lib = lib
     return lib
+
+
+def decode_positions_f64(local, scale, offset, num_threads: int = 0):
+    """(n, 3) contiguous i32 LAS locals -> (n, 3) f64 world positions
+    (pos*scale + offset in f64, raw_readers.rs:39-50), threaded in C++
+    — the converting-read hot transform."""
+    import numpy as np
+
+    lib = _native(required=True)
+    local = np.ascontiguousarray(local, np.int32)
+    n = local.shape[0]
+    out = np.empty((n, 3), np.float64)
+    sc = (ctypes.c_double * 3)(*[float(v) for v in scale])
+    of = (ctypes.c_double * 3)(*[float(v) for v in offset])
+    lib.laz_decode_positions(
+        ctypes.cast(local.ctypes.data_as(ctypes.c_void_p),
+                    ctypes.c_char_p),
+        n, sc, of,
+        ctypes.cast(out.ctypes.data_as(ctypes.c_void_p),
+                    ctypes.POINTER(ctypes.c_double)),
+        num_threads)
+    return out
 
 
 def deinterleave_records(records, n: int, record_size: int, fields,

@@ -2916,6 +2916,43 @@ void laz_deinterleave(const uint8_t* records, uint64_t n,
   for (auto& th : pool) th.join();
 }
 
+// Decode contiguous (n, 3) i32 LAS locals to (n, 3) f64 world positions
+// (pos*scale + offset, raw_readers.rs:39-50) — the converting-read hot
+// transform, threaded.
+void laz_decode_positions(const int32_t* local, uint64_t n,
+                          const double* scale, const double* offset,
+                          double* out, int nthreads) {
+  double sx = scale[0], sy = scale[1], sz = scale[2];
+  double ox = offset[0], oy = offset[1], oz = offset[2];
+  auto do_range = [&](uint64_t lo, uint64_t hi) {
+    const int32_t* p = local + lo * 3;
+    double* q = out + lo * 3;
+    for (uint64_t i = lo; i < hi; i++) {
+      q[0] = (double)p[0] * sx + ox;
+      q[1] = (double)p[1] * sy + oy;
+      q[2] = (double)p[2] * sz + oz;
+      p += 3;
+      q += 3;
+    }
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  uint64_t nt = std::min<uint64_t>(
+      nthreads > 0 ? (uint64_t)nthreads : (hw ? hw : 1),
+      std::max<uint64_t>(n / 65536, 1));
+  if (nt <= 1) {
+    do_range(0, n);
+    return;
+  }
+  std::vector<std::thread> pool;
+  uint64_t per = (n + nt - 1) / nt;
+  for (uint64_t t = 0; t < nt; t++) {
+    uint64_t lo = t * per, hi = std::min(lo + per, n);
+    if (lo >= hi) break;
+    pool.emplace_back(do_range, lo, hi);
+  }
+  for (auto& th : pool) th.join();
+}
+
 int laz_selftest() {
   // stage 1: bit model
   {

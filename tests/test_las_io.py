@@ -382,7 +382,8 @@ def test_native_deinterleave_matches_numpy_extraction(rng):
     rec = r._records[0:n]
     ref = {m.name: np.ascontiguousarray(rec[m.name])
            for m in r._exact_schema.members}
-    got = r._extract_columns(rec, n)
+    got, owned = r._extract_columns(rec, n)
+    assert owned
     assert set(ref) == set(got)
     for k in ref:
         np.testing.assert_array_equal(ref[k], got[k], err_msg=k)
