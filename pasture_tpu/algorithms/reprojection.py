@@ -562,12 +562,36 @@ def _helmert(xyz: np.ndarray, p: Tuple[float, ...],
 _UTM_K0 = 0.9996
 
 
+def _load_grid(spec: str, cls):
+    """Resolve a ``+nadgrids=``/``+geoidgrids=`` value: comma-separated
+    candidates, ``@``-prefixed entries optional (skipped when missing,
+    PROJ semantics); the first loadable grid wins."""
+    import os
+
+    last_err = None
+    for entry in spec.split(","):
+        optional = entry.startswith("@")
+        path = entry[1:] if optional else entry
+        if not os.path.exists(path):
+            if optional:
+                continue
+            last_err = FileNotFoundError(path)
+            continue
+        return cls(path)
+    if last_err is not None:
+        raise ValueError(f"no loadable datum grid in {spec!r}") \
+            from last_err
+    return None
+
+
 class _Crs:
     """Parsed CRS: projection + ellipsoid + optional towgs84 shift."""
 
     def __init__(self, text: str) -> None:
         self.text = text
         self.towgs84: Optional[Tuple[float, ...]] = None
+        self.nadgrids = None     # Ntv2Grid: horizontal datum shift
+        self.geoid = None        # GtxGrid: vertical (orthometric) datum
         t = text.strip()
         m = re.fullmatch(r"(?i)epsg:\s*(\d+)", t)
         if m:
@@ -711,6 +735,12 @@ class _Crs:
         if "towgs84" in kv:
             self.towgs84 = tuple(float(v)
                                  for v in str(kv["towgs84"]).split(","))
+        if "nadgrids" in kv and str(kv["nadgrids"]) != "@null":
+            from .datum_grids import Ntv2Grid
+            self.nadgrids = _load_grid(str(kv["nadgrids"]), Ntv2Grid)
+        if "geoidgrids" in kv:
+            from .datum_grids import GtxGrid
+            self.geoid = _load_grid(str(kv["geoidgrids"]), GtxGrid)
         self.ell = ell
         f = lambda k, d=0.0: float(kv.get(k, d))  # noqa: E731
         proj = kv.get("proj")
@@ -801,6 +831,9 @@ class _Crs:
         shift vectors compose to the identity when they are zero (null
         transform regardless of ellipsoid) or when the ellipsoids match
         (ECEF round-trip is exactly the identity)."""
+        if (self.nadgrids is not None or other.nadgrids is not None
+                or self.geoid is not None or other.geoid is not None):
+            return False
         a = self.towgs84 or (0.0,) * 7
         b = other.towgs84 or (0.0,) * 7
         a = a + (0.0,) * (7 - len(a))
@@ -811,7 +844,23 @@ class _Crs:
             self.ell.name == other.ell.name
 
     def geodetic_to_wgs84(self, llh: np.ndarray) -> np.ndarray:
-        """own-datum geodetic -> WGS84 geodetic via ECEF + Helmert."""
+        """own-datum geodetic -> WGS84 geodetic: NTv2/geoid grids when
+        configured (PROJ precedence: grids beat +towgs84), else ECEF +
+        Helmert; points outside every subgrid fall back to Helmert."""
+        lon, lat, h = llh[:, 0], llh[:, 1], llh[:, 2]
+        if self.geoid is not None:
+            # orthometric -> ellipsoidal at SOURCE geographic coords
+            h = h + self.geoid.undulation(lon, lat)
+        if self.nadgrids is not None:
+            slon, slat, applied = self.nadgrids.forward(lon, lat)
+            out = np.stack([slon, slat, np.asarray(h, np.float64)], axis=1)
+            if not applied.all():
+                out[~applied] = self._helmert_to_wgs84(
+                    np.stack([lon, lat, h], axis=1)[~applied])
+            return out
+        return self._helmert_to_wgs84(np.stack([lon, lat, h], axis=1))
+
+    def _helmert_to_wgs84(self, llh: np.ndarray) -> np.ndarray:
         x, y, z = _geodetic_to_ecef(llh[:, 0], llh[:, 1], llh[:, 2], self.ell)
         ecef = np.stack([x, y, z], axis=1)
         if self.towgs84 is not None:
@@ -821,6 +870,26 @@ class _Crs:
         return np.stack([lon, lat, h], axis=1)
 
     def geodetic_from_wgs84(self, llh: np.ndarray) -> np.ndarray:
+        if self.nadgrids is not None or self.geoid is not None:
+            lon, lat, h = llh[:, 0], llh[:, 1], llh[:, 2]
+            if self.nadgrids is not None:
+                slon, slat, applied = self.nadgrids.inverse(lon, lat)
+                if not applied.all():
+                    fb = self._helmert_from_wgs84(
+                        np.stack([lon, lat, h], axis=1)[~applied])
+                    slon = np.asarray(slon).copy()
+                    slat = np.asarray(slat).copy()
+                    slon[~applied] = fb[:, 0]
+                    slat[~applied] = fb[:, 1]
+                lon, lat = slon, slat
+            if self.geoid is not None:
+                h = h - self.geoid.undulation(lon, lat)
+            return np.stack([np.asarray(lon, np.float64),
+                             np.asarray(lat, np.float64),
+                             np.asarray(h, np.float64)], axis=1)
+        return self._helmert_from_wgs84(llh)
+
+    def _helmert_from_wgs84(self, llh: np.ndarray) -> np.ndarray:
         x, y, z = _geodetic_to_ecef(llh[:, 0], llh[:, 1], llh[:, 2], _WGS84)
         ecef = np.stack([x, y, z], axis=1)
         if self.towgs84 is not None:
@@ -877,10 +946,13 @@ class Projection:
                     self._src.geodetic_to_wgs84(llh))
                 # PROJ brackets the Helmert with push/pop v_3 for 2D CRS
                 # pairs: the ellipsoidal height is restored after the
-                # shift.  Geocentric endpoints are genuinely 3D — keep the
-                # shifted height there.
+                # shift.  Geocentric endpoints are genuinely 3D, and a
+                # geoid grid's whole point is the height change — keep
+                # the shifted height in both cases.
                 if self._src.kind != "geocent" and \
-                        self._dst.kind != "geocent":
+                        self._dst.kind != "geocent" and \
+                        self._src.geoid is None and \
+                        self._dst.geoid is None:
                     llh[:, 2] = h_in
             out = self._dst.from_geodetic(llh)
         return out[0] if single else out
