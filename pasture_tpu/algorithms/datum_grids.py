@@ -32,8 +32,9 @@ import numpy as np
 __all__ = ["Ntv2Grid", "GtxGrid", "write_ntv2", "write_gtx"]
 
 
-def _field(buf: bytes, i: int) -> Tuple[str, bytes]:
-    rec = buf[i * 16:(i + 1) * 16]
+def _field(buf: bytes, i: int, base: int = 0) -> Tuple[str, bytes]:
+    off = base + i * 16
+    rec = buf[off:off + 16]
     return rec[:8].decode("ascii", "replace").strip(), rec[8:]
 
 
@@ -97,11 +98,19 @@ class Ntv2Grid:
         name, v = _field(buf, 0)
         if name != "NUM_OREC":
             raise ValueError("not an NTv2 file (missing NUM_OREC)")
-        num_orec = struct.unpack("<i", v[:4])[0]
-        if num_orec != 11:
-            raise ValueError(f"unsupported NTv2 overview length {num_orec}")
-        num_srec = struct.unpack("<i", _field(buf, 1)[1][:4])[0]
-        num_file = struct.unpack("<i", _field(buf, 2)[1][:4])[0]
+        # official grids ship in both byte orders (PROJ byte-swaps on
+        # detection); NUM_OREC == 11 under exactly one interpretation
+        endian = None
+        for cand in ("<", ">"):
+            if struct.unpack(cand + "i", v[:4])[0] == 11:
+                endian = cand
+                break
+        if endian is None:
+            raise ValueError(
+                f"unsupported NTv2 overview header {v[:4]!r} "
+                f"(NUM_OREC != 11 in either byte order)")
+        num_srec = struct.unpack(endian + "i", _field(buf, 1)[1][:4])[0]
+        num_file = struct.unpack(endian + "i", _field(buf, 2)[1][:4])[0]
         gs_type = _field(buf, 3)[1][:8].decode("ascii").strip()
         if gs_type != "SECONDS":
             raise ValueError(f"unsupported NTv2 GS_TYPE {gs_type!r}")
@@ -110,12 +119,12 @@ class Ntv2Grid:
         for _ in range(num_file):
             hdr = {}
             for i in range(num_srec):
-                k, v = _field(buf[off:], i)
+                k, v = _field(buf, i, base=off)
                 hdr[k] = v
             off += num_srec * 16
-            count = struct.unpack("<i", hdr["GS_COUNT"][:4])[0]
-            dbl = lambda k: struct.unpack("<d", hdr[k])[0]  # noqa: E731
-            nodes = np.frombuffer(buf, "<f4", count * 4, off)
+            count = struct.unpack(endian + "i", hdr["GS_COUNT"][:4])[0]
+            dbl = lambda k: struct.unpack(endian + "d", hdr[k])[0]  # noqa: E731
+            nodes = np.frombuffer(buf, endian + "f4", count * 4, off)
             off += count * 16
             self.subgrids.append(_SubGrid(
                 dbl("S_LAT"), dbl("N_LAT"), dbl("E_LONG"), dbl("W_LONG"),
@@ -188,11 +197,22 @@ class GtxGrid:
     def undulation(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
         lon = np.asarray(lon, np.float64)
         lat = np.asarray(lat, np.float64)
-        # grids use [0, 360) or [-180, 180) longitudes; normalize into
-        # the grid's own frame
-        lon = np.where(lon < self.lon0, lon + 360.0, lon)
+        # grids use [0, 360) or [-180, 180) longitudes; map into the
+        # grid's own frame [lon0, lon0 + 360)
+        lon = self.lon0 + (lon - self.lon0) % 360.0
         r = (lat - self.lat0) / self.dlat
         c = (lon - self.lon0) / self.dlon
+        # no silent extrapolation: edge-clamping a point outside a
+        # regional geoid grid would add metres of wrong undulation (PROJ
+        # errors there too)
+        eps = 1e-9
+        bad = ((r < -eps) | (r > self.nrow - 1 + eps)
+               | (c < -eps) | (c > self.ncol - 1 + eps))
+        if bad.any():
+            raise ValueError(
+                f"{int(bad.sum())} point(s) outside the geoid grid "
+                f"coverage (lat {self.lat0}..{self.lat0 + (self.nrow - 1) * self.dlat}, "
+                f"lon {self.lon0}..{self.lon0 + (self.ncol - 1) * self.dlon})")
         r0 = np.clip(np.floor(r).astype(np.int64), 0, self.nrow - 2)
         c0 = np.clip(np.floor(c).astype(np.int64), 0, self.ncol - 2)
         fr = np.clip(r - r0, 0.0, 1.0)

@@ -445,8 +445,15 @@ def compute_normals(buffer: Union[HostPointBuffer, PointBatch], k_nn: int,
         if n <= step:
             normal, curvature = fn(pos, valid, k_nn)
         else:
-            parts = [fn(pos, valid, k_nn, queries=pos[i:i + step])
-                     for i in range(0, n, step)]
+            # pad the tail slice to the full step so EVERY slice shares
+            # one compiled program (remote compiles of new large
+            # programs are expensive); the trailing [:n] trims the pad
+            parts = []
+            for i in range(0, n, step):
+                q = pos[i:i + step]
+                if q.shape[0] < step:
+                    q = jnp.pad(q, ((0, step - q.shape[0]), (0, 0)))
+                parts.append(fn(pos, valid, k_nn, queries=q))
             normal = jnp.concatenate([p[0] for p in parts])
             curvature = jnp.concatenate([p[1] for p in parts])
     return np.asarray(normal)[:n], np.asarray(curvature)[:n]

@@ -577,7 +577,11 @@ def _load_grid(spec: str, cls):
                 continue
             last_err = FileNotFoundError(path)
             continue
-        return cls(path)
+        try:
+            return cls(path)
+        except Exception as e:          # corrupt candidate: try the next
+            last_err = e
+            continue
     if last_err is not None:
         raise ValueError(f"no loadable datum grid in {spec!r}") \
             from last_err
@@ -882,6 +886,12 @@ class _Crs:
                     slon[~applied] = fb[:, 0]
                     slat[~applied] = fb[:, 1]
                 lon, lat = slon, slat
+            else:
+                # geoid-only CRS: the horizontal datum step is still the
+                # Helmert shift (mirror of geodetic_to_wgs84's fallthrough)
+                fb = self._helmert_from_wgs84(
+                    np.stack([lon, lat, h], axis=1))
+                lon, lat, h = fb[:, 0], fb[:, 1], fb[:, 2]
             if self.geoid is not None:
                 h = h - self.geoid.undulation(lon, lat)
             return np.stack([np.asarray(lon, np.float64),

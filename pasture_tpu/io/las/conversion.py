@@ -112,18 +112,23 @@ def get_default_las_converter(
     if pos_member is not None:
         scale, offset = header.scale_np, header.offset_np
         dt_name = pos_member.dtype.name
+        # consumes_raw: the transforms receive the RAW i32 locals — the
+        # reference converts i32 -> f64 BEFORE scaling (raw_readers.rs:
+        # 39-58); a prior componentwise cast would both truncate large
+        # coordinates for f32 targets and keep the native threaded
+        # decode (laszip.laz_decode_positions) from ever seeing i32
         if dt_name == "Vec3f64":
             conv.set_custom_mapping_with_transformation(
                 ATTRIBUTE_LOCAL_LAS_POSITION, pos_member.attribute,
                 lambda p: _decode_positions(p, scale, offset),
-                applies_to_source=False)
+                applies_to_source=True, consumes_raw=True)
         elif dt_name == "Vec3f32":
             # f64 math, rounded to f32 at the end (raw_readers.rs:51-58)
             conv.set_custom_mapping_with_transformation(
                 ATTRIBUTE_LOCAL_LAS_POSITION, pos_member.attribute,
-                lambda p: (p.astype(np.float64) * scale[None, :]
-                           + offset[None, :]).astype(np.float32),
-                applies_to_source=False)
+                lambda p: _decode_positions(p, scale,
+                                            offset).astype(np.float32),
+                applies_to_source=True, consumes_raw=True)
         else:
             raise ValueError(
                 f"invalid datatype {dt_name} for POSITION_3D: only Vec3f64 "

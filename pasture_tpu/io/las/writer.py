@@ -112,12 +112,25 @@ class LasWriter(PointWriter):
         if compressed:
             from ...native.laszip import (LASZIP_RECORD_ID, LASZIP_USER_ID,
                                           LazCompressor, build_laszip_vlr)
-            if self.header.find_vlr(LASZIP_USER_ID, LASZIP_RECORD_ID) is None:
+            existing = self.header.find_vlr(LASZIP_USER_ID,
+                                            LASZIP_RECORD_ID)
+            if existing is None:
                 vlr_args = {} if laz_chunk_size is None else {
                     "chunk_size": laz_chunk_size}
                 self.header.vlrs.append(build_laszip_vlr(
                     self.header.point_format.number,
                     self.header.point_format.extra_bytes, **vlr_args))
+            else:
+                # the VLR is authoritative: readers derive chunk
+                # boundaries from it, so the compressor must follow it
+                from ...native.laszip import LazVlrRecord
+                vlr_chunk = LazVlrRecord(existing.data).chunk_size
+                if (laz_chunk_size is not None
+                        and laz_chunk_size != vlr_chunk):
+                    raise ValueError(
+                        f"laz_chunk_size={laz_chunk_size} conflicts with "
+                        f"the header's laszip VLR chunk size {vlr_chunk}")
+                laz_chunk_size = vlr_chunk
             self.header.is_compressed = True
             self._stream.write(self.header.serialize())
             self._laz = (LazCompressor(self._stream, self.header)

@@ -115,6 +115,7 @@ class _Mapping:
     source: Optional[PointAttribute]          # None => fill with default (zeros)
     transform: Optional[Callable[[np.ndarray], np.ndarray]] = None
     transform_applies_to_source: bool = False
+    transform_consumes_raw: bool = False      # raw source -> final target
 
 
 class SchemaConverter:
@@ -168,11 +169,19 @@ class SchemaConverter:
         target: PointAttribute,
         transform: Optional[Callable[[np.ndarray], np.ndarray]],
         applies_to_source: bool,
+        consumes_raw: bool = False,
     ) -> None:
         """Reference ``set_custom_mapping_with_transformation``
         (buffer_conversion.rs:200-290).  ``transform`` receives the whole
         column (shape ``(N,)`` or ``(N, C)``) and must return the same shape
-        and dtype class."""
+        and dtype class.
+
+        ``consumes_raw``: the transform maps the RAW source column
+        straight to the final target column and no dtype conversion runs
+        on either side — required when the conversion itself must happen
+        inside the transform (e.g. LAS positions, where the reference
+        semantics are i32 -> f64 BEFORE scaling; a prior componentwise
+        i32 -> f32 cast would truncate large coordinates)."""
         if not self.from_schema.has_attribute_with_name(source.name):
             raise ValueError(f"source attribute {source.name!r} not in from_schema")
         for m in self._mappings:
@@ -180,6 +189,7 @@ class SchemaConverter:
                 m.source = source
                 m.transform = transform
                 m.transform_applies_to_source = applies_to_source
+                m.transform_consumes_raw = consumes_raw
                 return
         raise ValueError(f"target attribute {target.name!r} not in to_schema")
 
@@ -205,6 +215,10 @@ class SchemaConverter:
                 continue
             col = columns[m.source.name]
             src_dt = self.from_schema.attribute(m.source.name).dtype
+            if m.transform is not None and m.transform_consumes_raw:
+                out[m.target.name] = np.ascontiguousarray(
+                    m.transform(col), dtype=tgt_dt.np_component_dtype)
+                continue
             if m.transform is not None and m.transform_applies_to_source:
                 col = m.transform(col)
             col = convert_attribute_column(col, src_dt, tgt_dt,

@@ -171,7 +171,7 @@ def _seg_max(col, first, rows, neutral, max_seg=None):
 
 def _make_kernel(mode_bits: int, fields, qbits: int, qwindow: float,
                  tile_len: int, exact_pos: bool = False,
-                 exact_local: bool = False, mid: float = 0.5):
+                 exact_local: bool = False):
     """``fields``: static list of (shift, width, signed, imin, imax) mean
     fields packed in the secondary word below the mode_bits.
 
@@ -413,9 +413,10 @@ def fused_sorted_voxel_reduce(skey: jnp.ndarray, sword: jnp.ndarray,
     shaped = [x.reshape(rows_total, _LANES) for x in ins]
 
     outs = pl.pallas_call(
+        # (exact-local needs no mid here: the cell reference point is
+        # baked into the shared exact_local_base_coeffs array)
         _make_kernel(mode_bits, fields, qbits, qwindow, tile_len,
-                     exact_pos=exact_pos, exact_local=exact_local,
-                     mid=0.75 if semantics == "nearest" else 0.5),
+                     exact_pos=exact_pos, exact_local=exact_local),
         grid=grid,
         in_specs=[block] * len(shaped)
         + [pl.BlockSpec((nparams,), lambda i: (0,))]

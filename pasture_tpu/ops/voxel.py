@@ -185,8 +185,8 @@ def voxel_downsample(batch: PointBatch, leaf_size,
                      precomputed: Optional[Tuple[jnp.ndarray, jnp.ndarray]]
                      = None,
                      local_affine: Optional[Tuple[jnp.ndarray, jnp.ndarray,
-                                                  jnp.ndarray]] = None
-                     ) -> PointBatch:
+                                                  jnp.ndarray, jnp.ndarray]]
+                     = None) -> PointBatch:
     """Voxel-grid downsample a batch; returns a batch of voxel centroids
     (same schema/capacity, ``count`` = number of occupied voxels, ordered by
     Morton code — the reference orders voxels by (x,y,z) tuple instead).
@@ -223,7 +223,9 @@ def voxel_downsample(batch: PointBatch, leaf_size,
     ``bounds`` (the keys' grid anchor).
 
     ``precomputed=(morton_keys, resword)`` WITH ``local_affine=(scale,
-    rot, trans)`` is the EXACT-LOCAL variant (paired with kernels
+    rot, trans, coeffs)`` — ``coeffs`` being the SAME
+    kernels.exact_local_base_coeffs array the head used — is the
+    EXACT-LOCAL variant (paired with kernels
     fused_voxel_head_exact_local): ``resword`` packs each point's i32 LAS
     local coordinate as an exact 10-bit integer residual of a per-cell
     base, and the centroid is the affine image of the EXACT local mean

@@ -153,3 +153,71 @@ def test_ntv2_against_libproj(tmp_path, rng):
     a = pj.transform(pts)
     b = bi.transform(pts)
     np.testing.assert_allclose(a[:, :2], b[:, :2], atol=3e-9)  # ~0.3 mm
+
+
+def test_geoid_with_helmert_roundtrip(tmp_path, rng):
+    """Review regression: a CRS with BOTH +towgs84 and +geoidgrids must
+    apply the Helmert step in BOTH directions (the inverse used to drop
+    it), so forward+inverse through the same CRS closes."""
+    vals = np.full((11, 11), 30.0)
+    path = tmp_path / "g.gtx"
+    write_gtx(path, 40.0, 0.0, 1.0, 1.0, vals)
+    crs = (f"+proj=longlat +ellps=GRS80 +towgs84=100,50,-20 "
+           f"+geoidgrids={path}")
+    fwd = Projection(crs, "+proj=longlat +datum=WGS84", backend="builtin")
+    rev = Projection("+proj=longlat +datum=WGS84", crs, backend="builtin")
+    pts = np.stack([rng.uniform(2, 8, 16), rng.uniform(42, 48, 16),
+                    rng.uniform(0, 100, 16)], axis=1)
+    out = fwd.transform(pts)
+    # the Helmert shift must actually move the horizontal coordinates
+    assert np.abs(out[:, 0] - pts[:, 0]).max() > 1e-4
+    back = rev.transform(out)
+    np.testing.assert_allclose(back[:, :2], pts[:, :2], atol=1e-9)
+    np.testing.assert_allclose(back[:, 2], pts[:, 2], atol=1e-5)
+
+
+def test_ntv2_big_endian_parse(tmp_path, rng):
+    """Review regression: official grids ship big-endian too — byte-swap
+    on detection instead of rejecting."""
+    import struct as st
+
+    p = _linear_gsb(tmp_path / "le.gsb")
+    le = p.read_bytes()
+    # byte-swap every numeric field into a big-endian variant
+    def swap_hdr(block, names_i, names_d):
+        out = bytearray(block)
+        for i in range(len(block) // 16):
+            name = block[i * 16:i * 16 + 8].decode().strip()
+            v = block[i * 16 + 8:i * 16 + 16]
+            if name in names_i:
+                out[i * 16 + 8:i * 16 + 12] = st.pack(
+                    ">i", st.unpack("<i", v[:4])[0])
+            elif name in names_d:
+                out[i * 16 + 8:i * 16 + 16] = st.pack(
+                    ">d", st.unpack("<d", v)[0])
+        return bytes(out)
+
+    ints = {"NUM_OREC", "NUM_SREC", "NUM_FILE", "GS_COUNT"}
+    dbls = {"MAJOR_F", "MINOR_F", "MAJOR_T", "MINOR_T", "S_LAT", "N_LAT",
+            "E_LONG", "W_LONG", "LAT_INC", "LONG_INC"}
+    over = swap_hdr(le[:11 * 16], ints, dbls)
+    sub = swap_hdr(le[11 * 16:22 * 16], ints, dbls)
+    nodes = np.frombuffer(le, "<f4", offset=22 * 16).astype(">f4")
+    be = over + sub + nodes.tobytes()
+    g = Ntv2Grid(be)
+    lon = rng.uniform(2.1, 4.9, 32)
+    lat = rng.uniform(45.1, 46.9, 32)
+    slon, slat, applied = g.forward(lon, lat)
+    assert applied.all()
+    elon, elat = _expected_shift(lon, lat)
+    np.testing.assert_allclose(slat, elat, atol=1e-10)
+    np.testing.assert_allclose(slon, elon, atol=1e-10)
+
+
+def test_gtx_rejects_out_of_coverage(tmp_path):
+    vals = np.full((11, 11), 30.0)
+    path = tmp_path / "g.gtx"
+    write_gtx(path, 40.0, 0.0, 1.0, 1.0, vals)
+    g = GtxGrid(path)
+    with pytest.raises(ValueError, match="outside the geoid grid"):
+        g.undulation(np.asarray([-120.0]), np.asarray([45.0]))
