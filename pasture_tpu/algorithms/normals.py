@@ -187,7 +187,9 @@ def _normals_scan_exact(pos: jnp.ndarray, valid: jnp.ndarray, k: int,
             # selection uses the SAME d2 expression as pass 1, so the
             # radius test is bit-consistent with the top-k threshold
             d2 = dist_block(cp, cv, cc2)
-            w = (d2 <= thr[:, None]).astype(dtype)
+            # finiteness guard: with < k valid targets thr is inf and
+            # inf <= inf would pull zero-padded rows into the moments
+            w = ((d2 <= thr[:, None]) & jnp.isfinite(d2)).astype(dtype)
             cnt = cnt + jnp.sum(w, axis=1)
             # query-frame differences (Q, T) per axis: bounded by the
             # k-NN radius -> centred moments never cancel

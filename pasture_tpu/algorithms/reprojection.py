@@ -883,8 +883,15 @@ class _Crs:
                         np.stack([lon, lat, h], axis=1)[~applied])
                     slon = np.asarray(slon).copy()
                     slat = np.asarray(slat).copy()
+                    h = np.asarray(h, np.float64).copy()
                     slon[~applied] = fb[:, 0]
                     slat[~applied] = fb[:, 1]
+                    # mirror the forward fallback, which applies the FULL
+                    # 3-D Helmert (height included) outside every subgrid —
+                    # keeping the WGS84 height here would break
+                    # forward/inverse round-trips whenever the push/pop-v3
+                    # height restore is skipped (geoid or geocentric ends)
+                    h[~applied] = fb[:, 2]
                 lon, lat = slon, slat
             else:
                 # geoid-only CRS: the horizontal datum step is still the

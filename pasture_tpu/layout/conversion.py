@@ -207,6 +207,7 @@ class SchemaConverter:
         if num_points is None:
             num_points = 0
         out: Dict[str, np.ndarray] = {}
+        served: set = set()  # source columns already returned as-is
         for m in self._mappings:
             tgt_dt = m.target.dtype
             if m.source is None:
@@ -219,10 +220,21 @@ class SchemaConverter:
                 out[m.target.name] = np.ascontiguousarray(
                     m.transform(col), dtype=tgt_dt.np_component_dtype)
                 continue
+            src_is_input = True
             if m.transform is not None and m.transform_applies_to_source:
-                col = m.transform(col)
+                col = m.transform(col)   # fresh array — owning it is safe
+                src_is_input = False
+            # a source column may feed several targets (set_custom_mapping
+            # can re-point m.source): only the FIRST identity use may alias
+            # the input buffer, or a later in-place write to one output
+            # would corrupt the other
+            owned = assume_owned and (not src_is_input
+                                      or m.source.name not in served)
+            before = col
             col = convert_attribute_column(col, src_dt, tgt_dt,
-                                           assume_owned=assume_owned)
+                                           assume_owned=owned)
+            if src_is_input and col is before:
+                served.add(m.source.name)
             if m.transform is not None and not m.transform_applies_to_source:
                 col = m.transform(col)
                 col = np.ascontiguousarray(col, dtype=tgt_dt.np_component_dtype)

@@ -270,6 +270,21 @@ def exact_local_base_coeffs(scale: jnp.ndarray, rotation: jnp.ndarray,
     shared by the exact-local head and reduce kernels.  Compute ONCE per
     pipeline and pass the same array to both (determinism contract)."""
     mid = 0.75 if semantics == "nearest" else 0.5
+    # Runtime contract enforcement: residuals are clipped to [0, 1023] in
+    # the head kernel, so a too-large leaf would yield wrong centroids with
+    # no error.  leaf_size and scale are host-known in every caller; the
+    # check is skipped only when scale is an abstract tracer (and then the
+    # caller computed coeffs concretely beforehand anyway).
+    import jax.core as _jcore
+    if not isinstance(scale, _jcore.Tracer) \
+            and not isinstance(leaf_size, _jcore.Tracer):
+        max_leaf = exact_local_max_leaf(scale, semantics)
+        if float(leaf_size) > max_leaf:
+            raise ValueError(
+                f"exact-local residual path: leaf_size {float(leaf_size)} "
+                f"exceeds exact_local_max_leaf(scale, {semantics!r}) = "
+                f"{max_leaf:.6g}; residuals would overflow the 10-bit "
+                f"window and be silently clipped")
     scale = scale.astype(jnp.float32).reshape(3)
     rot = rotation.astype(jnp.float32).reshape(3, 3)
     trans = translation.astype(jnp.float32).reshape(3)

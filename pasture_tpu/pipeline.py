@@ -89,14 +89,22 @@ class RegistrationPipeline:
         from .ops import voxel_downsample
         schema = PointSchema.from_attributes([att.POSITION_3D])
         cap = max(-(-len(pos) // 8) * 8, 8)
-        col = jnp.asarray(np.pad(pos, [(0, cap - len(pos)), (0, 0)]))
+        # anchor-relative device math: without jax_enable_x64 the device
+        # column is f32, which at survey/UTM magnitudes (~1e6) quantizes
+        # centroids to ~0.06-0.12 m.  Subtracting the f64 cloud minimum on
+        # the host first bounds the device values by the scan extent (f32
+        # resolution ~1e-5 m at 100 m), and the anchor is restored in f64.
+        anchor = pos.min(axis=0)
+        rel = pos - anchor[None, :]
+        col = jnp.asarray(np.pad(rel, [(0, cap - len(pos)), (0, 0)]))
         batch = PointBatch({att.POSITION_3D.name: col},
                            jnp.asarray(len(pos), jnp.int32), schema, {})
         out = voxel_downsample(batch, self.voxel_size,
-                               bounds=(jnp.asarray(pos.min(axis=0)), None),
+                               bounds=(jnp.zeros(3, col.dtype), None),
                                semantics="floor")
         n = int(out.count)
-        return np.asarray(out.data[att.POSITION_3D.name][:n], np.float64)
+        return np.asarray(out.data[att.POSITION_3D.name][:n],
+                          np.float64) + anchor[None, :]
 
     def _align(self, src: np.ndarray, tgt: np.ndarray):
         """One scan-to-keyframe alignment: single-device ICP, or the

@@ -114,3 +114,24 @@ class TestSchemaConverter:
             local, att.POSITION_3D, lambda p: p * 0.001 + 100.0, False)
         out = conv.convert({"LASLocalPosition": np.array([[1000, 2000, 3000]], np.int32)})
         assert np.allclose(out["Position3D"][0], [101.0, 102.0, 103.0])
+
+
+def test_assume_owned_no_aliasing_across_targets():
+    """Two targets fed by one source column (set_custom_mapping re-points
+    m.source): at most ONE output may alias the input buffer, so an
+    in-place mutation of one output never corrupts the other."""
+    from pasture_tpu.layout import attributes as att
+    from pasture_tpu.layout.conversion import SchemaConverter
+    from pasture_tpu.layout.schema import PointSchema
+
+    src = PointSchema.from_attributes([att.INTENSITY])
+    dst = PointSchema.from_attributes([att.INTENSITY, att.POINT_SOURCE_ID])
+    conv = SchemaConverter.for_schemas_with_default(src, dst)
+    conv.set_custom_mapping(att.INTENSITY, att.POINT_SOURCE_ID)
+    col = np.arange(8, dtype=np.uint16)
+    out = conv.convert({att.INTENSITY.name: col}, assume_owned=True)
+    a = out[att.INTENSITY.name]
+    b = out[att.POINT_SOURCE_ID.name]
+    assert not (a is b)
+    a[0] = 999
+    assert b[0] == 0

@@ -328,9 +328,7 @@ def test_exact_local_residual_path_matches_exact_f32(rng):
     n = REDUCE_BLOCK
     tiles = 16
     l = n // tiles
-    leaf = 0.5
     scale = np.asarray([0.001, 0.001, 0.001], np.float32)
-    assert leaf <= exact_local_max_leaf(scale, "floor")
     th = 0.25
     rot = np.asarray([[np.cos(th), -np.sin(th), 0.0],
                       [np.sin(th), np.cos(th), 0.0],
@@ -353,6 +351,11 @@ def test_exact_local_residual_path_matches_exact_f32(rng):
     bounds = (bmin, None)
 
     for sem in ("floor", "nearest"):
+        # "nearest" has a tighter residual window (1.5 leaves): use a leaf
+        # within its exact_local_max_leaf bound (0.25 <= ~0.384); slab
+        # boundaries (multiples of 0.5 world units) stay leaf multiples
+        leaf = 0.5 if sem == "floor" else 0.25
+        assert leaf <= exact_local_max_leaf(scale, sem)
         coeffs = exact_local_base_coeffs(
             jnp.asarray(scale), jnp.asarray(rot), jnp.asarray(trans),
             bmin, leaf, semantics=sem)
@@ -418,3 +421,25 @@ def test_exact_local_residual_path_matches_exact_f32(rng):
         for j in range(nv):
             d = np.linalg.norm(oracle - gp[j][None, :], axis=1)
             assert d.min() < 5e-4, (sem, j, d.min())
+
+
+def test_exact_local_leaf_contract_enforced():
+    """A leaf_size beyond exact_local_max_leaf must raise (residuals would
+    silently clip to the 10-bit window otherwise — advisor r3 medium)."""
+    import jax.numpy as jnp
+    import pytest
+    from pasture_tpu.ops.kernels import exact_local_max_leaf
+    from pasture_tpu.ops.kernels.fused_transform import (
+        exact_local_base_coeffs)
+
+    scale = jnp.asarray([0.001, 0.001, 0.001], jnp.float32)
+    eye = jnp.eye(3, dtype=jnp.float32)
+    zero = jnp.zeros(3, jnp.float32)
+    for sem in ("floor", "nearest"):
+        bound = exact_local_max_leaf(scale, sem)
+        # at the bound: fine
+        exact_local_base_coeffs(scale, eye, zero, zero, bound * 0.999,
+                                semantics=sem)
+        with pytest.raises(ValueError, match="exact_local_max_leaf"):
+            exact_local_base_coeffs(scale, eye, zero, zero, bound * 1.01,
+                                    semantics=sem)
