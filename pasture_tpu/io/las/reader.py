@@ -186,7 +186,16 @@ class LasReader(PointReader, SeekToPoint):
         self._records = None
         self._buf = None
         if self._mmap is not None:
-            self._mmap.close()
+            try:
+                self._mmap.close()
+            except BufferError:
+                # zero-copy columns handed out by read() still reference
+                # the mapping (the mmap zero-parse default path); dropping
+                # our reference keeps them valid — the OS mapping is
+                # released when the last view is garbage-collected.
+                # Without this, `read_all(path)` (which closes on context
+                # exit) would crash for exact-schema mmap reads.
+                pass
             self._mmap = None
         if self._file is not None:
             self._file.close()

@@ -89,40 +89,78 @@ def streaming_voxel_downsample(path: Union[str, Path], leaf_size: float,
                                chunk_points: int = 1 << 20,
                                grid_bits: int = 20,
                                semantics: str = "floor",
+                               with_aux: bool = False,
                                **voxel_kwargs) -> PointBatch:
-    """Voxel-downsample a file larger than device memory.
+    """Voxel-downsample a file larger than device memory — EXACTLY.
 
     Two-stage: each chunk voxelizes against a common grid origin (the file
-    bounds from a first streaming pass), then the concatenated per-chunk
-    centroids voxelize once more.  Exact for mean policies up to the
-    per-chunk weighting (chunks split voxels only at chunk boundaries along
-    the read order; the final pass re-merges them with count weights folded
-    into the mean of means being a close approximation — documented
-    behaviour of the two-stage merge, see parallel.ops).
+    bounds from a first streaming pass) with merge statistics
+    (``with_aux`` — per-voxel counts, cell keys, winning-mode counts), and
+    an on-device accumulator folds each chunk in with
+    :func:`~pasture_tpu.ops.merge_voxel_batches`.  The result equals the
+    one-shot global voxelization: exactly for the mean/max policies
+    (weighted mean of partial means / max of maxes; integer mean columns
+    may differ by one unit of the final integer cast, both paths rounding
+    f32), and mode within the documented weighted-vote envelope
+    (ops/voxel_merge.py — exact unless the global mode value loses in
+    EVERY chunk it appears in).  Value-level equality is asserted in
+    tests/test_streaming.py.
+
+    The hot loop never round-trips point data through the host: partial
+    centroid batches stay on device and only the voxel-count scalar is
+    fetched to size the accumulator, which grows geometrically (a new
+    XLA program per doubling, not per chunk).
 
     Extra ``voxel_kwargs`` (e.g. ``position_quantization_bits``,
     ``sort_tiles``) forward to :func:`~pasture_tpu.ops.voxel_downsample`
     for its fast paths — chunks from a spatially tiled file qualify for
     tiled sorting.
+
+    ``with_aux``: also return the accumulated merge statistics (the
+    ``(batch, aux)`` form), letting callers fold further partials in.
     """
     import jax.numpy as jnp
 
     from ..ops.voxel import voxel_downsample
+    from ..ops.voxel_merge import merge_voxel_batches
 
     bounds = streaming_bounds(path, chunk_points)
     if bounds is None:
         raise ValueError("empty input")
     gmin = jnp.asarray(bounds.min, jnp.float32)
 
-    partials = []
+    def trim(part, aux, cap):
+        """Slice accumulator columns to ``cap`` rows (valid voxels form a
+        prefix; rows beyond carry the invalid key / zero counts)."""
+        data = {n: c[:cap] for n, c in part.data.items()}
+        a = {"keys": tuple(k[:cap] for k in aux["keys"]),
+             "counts": aux["counts"][:cap],
+             "mode_counts": {n: c[:cap]
+                             for n, c in aux["mode_counts"].items()},
+             "raw_means": {n: c[:cap]
+                           for n, c in aux.get("raw_means", {}).items()}}
+        return PointBatch(data, part.count, part.schema, part.meta), a
+
+    acc = None
     for batch in stream_batches(path, chunk_points):
-        out = voxel_downsample(batch, leaf_size, bounds=(gmin, None),
-                               semantics=semantics, grid_bits=grid_bits,
-                               **voxel_kwargs)
-        host = out.to_host(trim=True)
-        partials.append(host)
-    from ..buffers.host import HostPointBuffer
-    merged = HostPointBuffer.concat(partials)
-    final = PointBatch.from_host(merged)
-    return voxel_downsample(final, leaf_size, bounds=(gmin, None),
-                            semantics=semantics, grid_bits=grid_bits)
+        part, aux = voxel_downsample(batch, leaf_size, bounds=(gmin, None),
+                                     semantics=semantics,
+                                     grid_bits=grid_bits, with_aux=True,
+                                     **voxel_kwargs)
+        if acc is None:
+            acc = (part, aux)
+            continue
+        merged = merge_voxel_batches([acc, (part, aux)],
+                                     policies=voxel_kwargs.get("policies"))
+        # geometric capacity schedule: O(log) distinct program shapes
+        nv = int(merged[0].count)
+        cap = merged[0].data[next(iter(merged[0].data))].shape[0]
+        want = chunk_points
+        while want < nv:
+            want <<= 1
+        acc = trim(*merged, min(want, cap))
+    if acc is None:
+        raise ValueError("empty input")
+    if with_aux:
+        return acc
+    return acc[0]

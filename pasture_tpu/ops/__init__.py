@@ -18,3 +18,4 @@ from .convert import convert_batch_schema, rust_as_cast_device  # noqa: F401
 from .filter import compact_batch, filter_batch  # noqa: F401
 from .sort import morton_sort, sort_by_keys  # noqa: F401
 from .voxel import voxel_downsample, voxel_indices  # noqa: F401
+from .voxel_merge import merge_voxel_batches  # noqa: F401

@@ -186,7 +186,8 @@ def voxel_downsample(batch: PointBatch, leaf_size,
                      = None,
                      local_affine: Optional[Tuple[jnp.ndarray, jnp.ndarray,
                                                   jnp.ndarray, jnp.ndarray]]
-                     = None) -> PointBatch:
+                     = None,
+                     with_aux: bool = False) -> PointBatch:
     """Voxel-grid downsample a batch; returns a batch of voxel centroids
     (same schema/capacity, ``count`` = number of occupied voxels, ordered by
     Morton code — the reference orders voxels by (x,y,z) tuple instead).
@@ -235,6 +236,19 @@ def voxel_downsample(batch: PointBatch, leaf_size,
     ``bounds``, scalar ``leaf_size``
     <= kernels.exact_local_max_leaf(scale, semantics), and the batch need
     not carry a position column.
+
+    ``with_aux``: also return the per-voxel merge statistics that make the
+    two-stage (chunked/streaming/sharded) voxelization EXACTLY equal the
+    one-shot global result — the return value becomes ``(batch, aux)``
+    with ``aux = {"keys": (nk,)-tuple of u32 cell-key columns, "counts":
+    i32 points per voxel, "mode_counts": {name: i32 count of the winning
+    mode value}, "raw_means": {name: f32 UNROUNDED mean for integer mean
+    columns, whose output cast truncates}}``, each aligned with the
+    output rows (rows past
+    ``count`` hold the invalid key / zero counts, so concatenated partial
+    results feed :func:`~pasture_tpu.ops.merge_voxel_batches` without
+    masks).  Reference: voxel_grid.rs:443-700 reduction semantics carried
+    across chunk boundaries.
     """
     pre = precomputed is not None
     pre_exact = pre and precomputed[1] is None
@@ -418,6 +432,7 @@ def voxel_downsample(batch: PointBatch, leaf_size,
         and policy_of(position_attribute, pos) == "mean")
     use_fused_reduce = (
         (carry_q and not loose_idx or exact_pos_fused)
+        and not with_aux  # the fused kernel doesn't emit merge statistics
         and nk == 1 and packed_word is not None and _scalar_leaf
         and all(policy_of(flat_names[i], batch.data[flat_names[i]])
                 == "mean" for i, _, _, _ in pack_plan)
@@ -516,6 +531,7 @@ def voxel_downsample(batch: PointBatch, leaf_size,
     ones = jnp.where(valid, 1.0, 0.0).astype(jnp.float32)
     counts32 = None
     qsums = None
+    raw_means: Dict[str, jnp.ndarray] = {}
     for acc_dtype in (jnp.float32, jnp.float64):
         group = [(n, c) for n, c in sorted_cols.items()
                  if policy_of(n, batch.data[n]) == "mean"
@@ -547,6 +563,11 @@ def voxel_downsample(batch: PointBatch, leaf_size,
         cnt = jnp.maximum(counts32, 1.0).astype(acc_dtype)
         cols = _unflatten_cols([s / cnt for s in sums], glayout)
         for n, c in cols.items():
+            if with_aux and not jnp.issubdtype(batch.data[n].dtype,
+                                               jnp.floating):
+                # integer mean columns: the cast truncates, so merging
+                # partials needs the UNROUNDED partial mean
+                raw_means[n] = c.astype(jnp.float32)
             reduced[n] = _cast_as(c, batch.data[n].dtype)
 
     if quantize_pos:
@@ -598,7 +619,9 @@ def voxel_downsample(batch: PointBatch, leaf_size,
         """``sv``: i32 values in ``[vmin, vmin + 2**vbits)``.  When run
         length + value fit one i32 (log2(cap)+vbits <= 31) the (max run,
         then min value) selection collapses to ONE packed max ladder
-        instead of the two-column lexicographic one."""
+        instead of the two-column lexicographic one.  Returns
+        ``(mode value, count of that value)`` per segment (landed on
+        segment first rows)."""
         run_new = nk_new | jnp.concatenate([jnp.ones((1,), bool),
                                             sv[1:] != sv[:-1]])
         f2 = nk_new & valid
@@ -610,11 +633,12 @@ def voxel_downsample(batch: PointBatch, leaf_size,
             comp = vmax_enc - (sv - vmin)          # descending value order
             packed = jnp.where(runs, (run_len << vbits) | comp, -1)
             best = seg_totals_max(packed, f2)
-            return (vmax_enc - (best & vmax_enc)) + vmin
+            return ((vmax_enc - (best & vmax_enc)) + vmin,
+                    jnp.maximum(best >> vbits, 0))
         primary = jnp.where(runs, run_len, -1)
         secondary = jnp.where(runs, -sv, jnp.iinfo(jnp.int32).min)
-        _, best_neg = seg_totals_lexmax2(primary, secondary, f2)
-        return -best_neg
+        best_len, best_neg = seg_totals_lexmax2(primary, secondary, f2)
+        return -best_neg, jnp.maximum(best_len, 0)
 
     def _value_range(dtype):
         """(bits, min encodable value) for the packed-mode fast path; i32
@@ -627,38 +651,66 @@ def voxel_downsample(batch: PointBatch, leaf_size,
             else 0
         return w, jnp.int32(vmin) if w < 32 else 0
 
+    mode_win_counts: Dict[str, jnp.ndarray] = {}
     for n in mode_names:
         col = batch.data[n]
         vbits, vmin = _value_range(col.dtype)
         if n == fused_mode:
             # already value-ordered by the fused extra key of sort 1
-            reduced[n] = _cast_as(
-                _mode_from_sorted(fused_vals, new_key, vbits,
-                                  vmin).astype(jnp.float32),
-                col.dtype)
-            continue
-        s = _tiled_sort(tuple(keys) + (col.astype(jnp.int32),),
-                        num_keys=nk + 1)
-        sv = s[nk]
-        sk = s[:nk]
-        nk_new = jnp.concatenate([
-            jnp.ones((1,), bool),
-            jnp.any(jnp.stack([k[1:] != k[:-1] for k in sk]), axis=0)
-            if nk > 1 else (sk[0][1:] != sk[0][:-1])])
-        if tile_start is not None:
-            nk_new = nk_new | tile_start
-        reduced[n] = _cast_as(
-            _mode_from_sorted(sv, nk_new, vbits, vmin).astype(jnp.float32),
-            col.dtype)
+            mv, mc = _mode_from_sorted(fused_vals, new_key, vbits, vmin)
+        else:
+            s = _tiled_sort(tuple(keys) + (col.astype(jnp.int32),),
+                            num_keys=nk + 1)
+            sv = s[nk]
+            sk = s[:nk]
+            nk_new = jnp.concatenate([
+                jnp.ones((1,), bool),
+                jnp.any(jnp.stack([k[1:] != k[:-1] for k in sk]), axis=0)
+                if nk > 1 else (sk[0][1:] != sk[0][:-1])])
+            if tile_start is not None:
+                nk_new = nk_new | tile_start
+            mv, mc = _mode_from_sorted(sv, nk_new, vbits, vmin)
+        reduced[n] = _cast_as(mv.astype(jnp.float32), col.dtype)
+        if with_aux:
+            mode_win_counts[n] = mc
 
     # ---- prefix compaction: first rows to the front -------------------------
     # rows are already in Morton order and staged shifts preserve order, so
     # no second sort is needed (ops/compact.py); narrow integer outputs
     # share u32 words through the ladder (fewer streams)
+    if with_aux:
+        # merge statistics ride the same compaction: the voxel's cell keys,
+        # its point count, and each mode column's winning-value count
+        for i in range(nk):
+            reduced[f"__aux_key{i}"] = skeys[i]
+        reduced["__aux_counts"] = counts32.astype(jnp.int32)
+        for n, mc in mode_win_counts.items():
+            reduced[f"__aux_mode:{n}"] = mc
+        for n, rm in raw_means.items():
+            reduced[f"__aux_raw:{n}"] = rm
     cops, clayout = _flatten_cols(reduced)
     packed_ops, pack_info = pack_int_columns(cops)
     compacted, num_voxels = compact_columns(packed_ops, first)
     out_data = _unflatten_cols(unpack_int_columns(compacted, pack_info),
                                clayout)
+
+    if with_aux:
+        # rows past the voxel count get the invalid key / zero counts so
+        # concatenated partial results are mask-free merge inputs
+        valid_out = jnp.arange(cap, dtype=jnp.int32) < num_voxels
+        aux = {
+            "keys": tuple(
+                jnp.where(valid_out, out_data.pop(f"__aux_key{i}"),
+                          _INVALID_KEY) for i in range(nk)),
+            "counts": jnp.where(valid_out,
+                                out_data.pop("__aux_counts"), 0),
+            "mode_counts": {
+                n: jnp.where(valid_out, out_data.pop(f"__aux_mode:{n}"), 0)
+                for n in mode_win_counts},
+            "raw_means": {n: out_data.pop(f"__aux_raw:{n}")
+                          for n in raw_means},
+        }
+        return (PointBatch(out_data, num_voxels, batch.schema, batch.meta),
+                aux)
 
     return PointBatch(out_data, num_voxels, batch.schema, batch.meta)

@@ -1,0 +1,210 @@
+"""Exact merging of partial voxelizations (two-stage downsampling).
+
+Chunked, streaming and sharded voxel downsampling all produce PARTIAL
+per-voxel statistics: a voxel whose points are split across two chunks
+appears once in each partial result.  Given the merge statistics emitted
+by :func:`~pasture_tpu.ops.voxel_downsample` ``with_aux=True`` (cell
+keys, per-voxel point counts, winning-mode counts), this module merges
+partials so the result EXACTLY equals the one-shot global voxelization
+for the mean and max reduction policies (reference semantics:
+pasture-algorithms/src/voxel_grid.rs:443-700):
+
+* **mean** — weighted mean of partial means: ``sum(c_i * mean_i) /
+  sum(c_i)`` is algebraically the global mean (equal up to f32 summation
+  order; tests assert against an f64 oracle);
+* **max** — max of partial maxes (exact; the 0-clamp is idempotent);
+* **mode** — weighted vote over the partial winners: each partial
+  contributes its winning value with that value's true in-partial count,
+  matching counts are summed across partials, and the largest total wins
+  (ties to the smallest value, as in the one-shot path).  This is exact
+  whenever the global mode value wins at least one partial (always true
+  when a voxel lies in one chunk, and for any split where some chunk's
+  local winner is the global winner); it can differ only when the global
+  mode is a runner-up in EVERY partial — a documented, tested envelope
+  (see tests/test_voxel_merge.py), the price of merging without
+  full per-voxel histograms.
+
+Merged outputs carry the same aux statistics, so merging FOLDS:
+``merge(merge(a, b), c) == merge(a, b, c)`` for mean/max (mode keeps the
+same envelope) — the shape streaming consumption needs.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..buffers.device import PointBatch
+from .segscan import seg_totals_lexmax2, seg_totals_max, seg_totals_sum
+from .compact import compact_columns, pack_int_columns, unpack_int_columns
+from .voxel import (DEFAULT_POLICIES, _INVALID_KEY, _cast_as, _flatten_cols,
+                    _unflatten_cols)
+
+__all__ = ["merge_voxel_batches"]
+
+
+def merge_voxel_batches(parts: Sequence[Tuple[PointBatch, Dict]],
+                        policies: Optional[Dict[str, str]] = None
+                        ) -> Tuple[PointBatch, Dict]:
+    """Merge partial voxelizations into one, exactly (see module doc).
+
+    ``parts``: ``(batch, aux)`` pairs as returned by
+    :func:`~pasture_tpu.ops.voxel_downsample` ``with_aux=True`` (or by a
+    previous merge) against the SAME grid (bounds/leaf/semantics/
+    grid_bits).  ``policies`` must match the ones used to produce the
+    partials (default policies otherwise).  Returns ``(batch, aux)`` of
+    the same form; output rows are ordered by cell key.
+
+    Voxels are identified purely by the carried cell keys — nothing is
+    re-quantized, so a partial centroid sitting on a cell boundary can
+    never migrate to a neighbouring cell.
+    """
+    if not parts:
+        raise ValueError("merge_voxel_batches needs at least one partial")
+    batch0, aux0 = parts[0]
+    nk = len(aux0["keys"])
+    names = list(batch0.data)
+    for b, a in parts[1:]:
+        if list(b.data) != names:
+            raise ValueError("partials carry different attribute sets")
+        if len(a["keys"]) != nk:
+            raise ValueError("partials carry different key widths")
+
+    pol = dict(DEFAULT_POLICIES)
+    if policies:
+        pol.update(policies)
+
+    def policy_of(name, col):
+        p = pol.get(name)
+        if p is None:
+            p = "mean" if jnp.issubdtype(col.dtype, jnp.floating) else "mode"
+        return p
+
+    def cat(cols):
+        return cols[0] if len(cols) == 1 else jnp.concatenate(cols)
+
+    keys = [cat([a["keys"][i] for _, a in parts]) for i in range(nk)]
+    counts = cat([a["counts"] for _, a in parts]).astype(jnp.int32)
+    data = {n: cat([b.data[n] for b, _ in parts]) for n in names}
+    mode_names = [n for n in names if policy_of(n, data[n]) == "mode"]
+    mode_counts = {n: cat([a["mode_counts"][n] for _, a in parts])
+                   for n in mode_names}
+    # integer mean columns were truncated by the output cast; merge from
+    # the carried UNROUNDED partial means instead
+    raw_names = list(aux0.get("raw_means", {}))
+    raw = {n: cat([a["raw_means"][n] for _, a in parts]) for n in raw_names}
+    cap = keys[0].shape[0]
+    valid_in = keys[0] != _INVALID_KEY
+    counts = jnp.where(valid_in, counts, 0)
+
+    # ---- sort 1: keys carry counts + every mean/max column -----------------
+    carry = {n: (raw[n] if n in raw else c) for n, c in data.items()
+             if policy_of(n, data[n]) != "mode"}
+    ops, layout = _flatten_cols(carry)
+    sorted_all = lax.sort(tuple(keys) + (counts,) + tuple(ops),
+                          num_keys=nk, is_stable=False)
+    skeys = sorted_all[:nk]
+    scnt = sorted_all[nk]
+    sops = sorted_all[nk + 1:]
+    scols = _unflatten_cols(list(sops), layout)
+
+    valid = skeys[0] != _INVALID_KEY
+    new_key = jnp.concatenate([
+        jnp.ones((1,), bool),
+        jnp.any(jnp.stack([k[1:] != k[:-1] for k in skeys]), axis=0)
+        if nk > 1 else (skeys[0][1:] != skeys[0][:-1])])
+    first = new_key & valid
+
+    reduced: Dict[str, jnp.ndarray] = {}
+    raw_out: Dict[str, jnp.ndarray] = {}
+    wts32 = jnp.where(valid, scnt, 0).astype(jnp.float32)
+    counts_out = None
+    for acc_dtype in (jnp.float32, jnp.float64):
+        group = [(n, c) for n, c in scols.items()
+                 if policy_of(n, data[n]) == "mean"
+                 and ((c.dtype == jnp.float64) == (acc_dtype == jnp.float64))]
+        is_f32 = acc_dtype == jnp.float32
+        if not group and not (is_f32 and counts_out is None):
+            continue
+        comps, glayout = _flatten_cols(dict(group))
+        w = wts32.astype(acc_dtype)
+        cols_acc = [jnp.where(valid, c.astype(acc_dtype), 0) * w
+                    for c in comps]
+        add_counts = counts_out is None
+        if add_counts:
+            cols_acc.append(w)
+        sums = seg_totals_sum(cols_acc, first)
+        if add_counts:
+            counts_out = sums[-1].astype(jnp.float32)
+            sums = sums[:-1]
+        cw = jnp.maximum(counts_out, 1.0).astype(acc_dtype)
+        cols = _unflatten_cols([s / cw for s in sums], glayout)
+        for n, c in cols.items():
+            if n in raw:
+                raw_out[n] = c.astype(jnp.float32)
+            reduced[n] = _cast_as(c, data[n].dtype)
+
+    for n, c in scols.items():
+        if policy_of(n, data[n]) != "max":
+            continue
+        acc = c.dtype if jnp.issubdtype(c.dtype, jnp.floating) \
+            else jnp.float32
+        v = jnp.where(valid, c.astype(acc), -jnp.inf)
+        m = seg_totals_max(v, first)
+        reduced[n] = _cast_as(jnp.maximum(m, 0.0), data[n].dtype)
+
+    # ---- mode: weighted vote over partial winners --------------------------
+    mode_win: Dict[str, jnp.ndarray] = {}
+    imin = jnp.iinfo(jnp.int32).min
+    for n in mode_names:
+        col = data[n].astype(jnp.int32)
+        mw = jnp.where(valid_in, mode_counts[n].astype(jnp.int32), 0)
+        s = lax.sort(tuple(keys) + (col, mw), num_keys=nk + 1,
+                     is_stable=False)
+        sv, sw = s[nk], s[nk + 1]
+        sk = s[:nk]
+        nk_new = jnp.concatenate([
+            jnp.ones((1,), bool),
+            jnp.any(jnp.stack([k[1:] != k[:-1] for k in sk]), axis=0)
+            if nk > 1 else (sk[0][1:] != sk[0][:-1])])
+        run_new = nk_new | jnp.concatenate([jnp.ones((1,), bool),
+                                            sv[1:] != sv[:-1]])
+        svalid = sk[0] != _INVALID_KEY
+        f2 = nk_new & svalid
+        runs = run_new & svalid
+        # total votes for each (voxel, value) run, then lexicographic
+        # (max votes, then min value) per voxel
+        run_tot = seg_totals_sum(jnp.where(svalid, sw, 0), runs)
+        primary = jnp.where(runs, run_tot, -1)
+        secondary = jnp.where(runs, -sv, imin)
+        best_tot, best_neg = seg_totals_lexmax2(primary, secondary, f2)
+        mode_win[n] = jnp.maximum(best_tot, 0)
+        reduced[n] = _cast_as((-best_neg).astype(jnp.float32),
+                              data[n].dtype)
+
+    # ---- compact first rows to the front -----------------------------------
+    for i in range(nk):
+        reduced[f"__aux_key{i}"] = skeys[i]
+    reduced["__aux_counts"] = counts_out.astype(jnp.int32)
+    for n, mc in mode_win.items():
+        reduced[f"__aux_mode:{n}"] = mc
+    for n, rm in raw_out.items():
+        reduced[f"__aux_raw:{n}"] = rm
+    cops, clayout = _flatten_cols(reduced)
+    packed_ops, pack_info = pack_int_columns(cops)
+    compacted, num_voxels = compact_columns(packed_ops, first)
+    out = _unflatten_cols(unpack_int_columns(compacted, pack_info), clayout)
+
+    valid_out = jnp.arange(cap, dtype=jnp.int32) < num_voxels
+    aux = {
+        "keys": tuple(jnp.where(valid_out, out.pop(f"__aux_key{i}"),
+                                _INVALID_KEY) for i in range(nk)),
+        "counts": jnp.where(valid_out, out.pop("__aux_counts"), 0),
+        "mode_counts": {
+            n: jnp.where(valid_out, out.pop(f"__aux_mode:{n}"), 0)
+            for n in mode_win},
+        "raw_means": {n: out.pop(f"__aux_raw:{n}") for n in raw_out},
+    }
+    return (PointBatch(out, num_voxels, batch0.schema, batch0.meta), aux)

@@ -11,6 +11,7 @@ collectives (psum) instead of any NCCL/MPI analog.
 
 from .mesh import make_mesh, batch_sharding, shard_batch  # noqa: F401
 from .ops import sharded_bounds, sharded_voxel_downsample, \
+    sharded_voxel_downsample_merged, \
     distributed_normals  # noqa: F401
 from .partition import morton_partition, MortonPartitionSpec  # noqa: F401
 from .distributed import distributed_icp, distributed_icp_partitioned, \

@@ -10,10 +10,15 @@ Two styles, both used deliberately:
   the expensive sort local to each device and reduces only voxel
   *statistics* over ICI.
 
-The two-stage voxel merge is exact for the mean/max policies (weighted
-mean-of-means with counts, max-of-max) and approximate for mode (mode of
-per-shard modes) — flagged in the docstring, matching the configurable
-reduction design.
+The two-stage voxel merge (``sharded_voxel_downsample`` ``with_aux=True``
++ :func:`~pasture_tpu.ops.merge_voxel_batches`, or the one-call
+:func:`sharded_voxel_downsample_merged`) EXACTLY reproduces the one-shot
+global voxelization for the mean/max policies — per-shard partials carry
+per-voxel counts and unrounded means, and the merge computes the weighted
+mean of means / max of maxes (value-level tests in tests/test_parallel.py).
+Mode merges by weighted vote over per-shard winners: exact unless the
+global mode value loses in EVERY shard that sees it — the documented
+envelope of ops/voxel_merge.py.
 """
 
 from __future__ import annotations
@@ -35,6 +40,7 @@ from .mesh import POINTS_AXIS, batch_sharding
 from .partition import morton_partition
 
 __all__ = ["sharded_bounds", "sharded_voxel_downsample",
+           "sharded_voxel_downsample_merged",
            "distributed_normals"]
 
 
@@ -57,20 +63,29 @@ def sharded_voxel_downsample(batch: PointBatch, mesh: Mesh, leaf_size,
                              axis: str = POINTS_AXIS,
                              semantics: str = "floor",
                              per_shard_counts: Optional[jnp.ndarray] = None,
+                             with_aux: bool = False,
                              **voxel_kwargs) -> PointBatch:
     """Two-stage distributed voxel downsample.
 
     Stage 1 (per shard, no communication): Morton-sorted local voxelize.
     Stage 2 (collective): global bounds via pmin so every shard quantizes
-    against the same grid origin; the merged result keeps per-shard voxel
-    centroids (points/voxel counts preserved in meta) — callers needing a
-    single merged batch re-voxelize the gathered centroids, which is exact
-    for mean with the carried weights.
+    against the same grid origin.  The result keeps per-shard voxel
+    centroids sharded in place; a voxel whose points straddle a shard
+    boundary appears once per shard.  Callers needing the single globally
+    merged result pass ``with_aux=True`` and feed the output to
+    :func:`~pasture_tpu.ops.merge_voxel_batches` (or use
+    :func:`sharded_voxel_downsample_merged`), which is EXACT for mean/max
+    (see module doc).
 
-    Returns ``(batch, per_shard_counts)``: the batch is sharded like the
-    input, each shard's prefix holding its local voxel centroids;
-    ``per_shard_counts`` is an (n_shards,) int32 array of local voxel
-    counts (the batch's ``count`` is their global sum).
+    Returns ``(batch, per_shard_counts)`` — or ``(batch,
+    per_shard_counts, aux)`` with ``with_aux`` — where the batch is
+    sharded like the input, each shard's prefix holding its local voxel
+    centroids; ``per_shard_counts`` is an (n_shards,) int32 array of
+    local voxel counts (the batch's ``count`` is their global sum); and
+    ``aux`` holds the sharded per-voxel merge statistics of
+    :func:`~pasture_tpu.ops.voxel_downsample` (rows past each shard's
+    prefix carry the invalid key, so the global view is directly
+    mergeable without masks).
 
     Extra ``voxel_kwargs`` (``grid_bits``, ``position_quantization_bits``,
     ``sort_tiles`` ...) forward to the per-shard
@@ -98,8 +113,24 @@ def sharded_voxel_downsample(batch: PointBatch, mesh: Mesh, leaf_size,
         lmin, _ = batch_bounds(pos, mask)
         gmin = jax.lax.pmin(lmin, axis)
         out = voxel_downsample(local, leaf_size, bounds=(gmin, None),
-                               semantics=semantics, **voxel_kwargs)
+                               semantics=semantics, with_aux=with_aux,
+                               **voxel_kwargs)
+        if with_aux:
+            out, aux = out
+            return out.data, out.count[None], aux
         return out.data, out.count[None]
+
+    if with_aux:
+        # every aux leaf is a per-voxel-row column sharded on axis: the
+        # single P(axis) acts as a pytree-prefix spec for the whole subtree
+        out_data, counts, aux = shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(data_specs, P(axis), meta_specs),
+            out_specs=(data_specs, P(axis), P(axis)), check_vma=False)(
+            batch.data, per_shard_counts.astype(jnp.int32), batch.meta)
+        total = jnp.sum(counts).astype(jnp.int32)
+        return (PointBatch(out_data, total, batch.schema, batch.meta),
+                counts, aux)
 
     out_data, counts = shard_map(
         shard_fn, mesh=mesh,
@@ -108,6 +139,32 @@ def sharded_voxel_downsample(batch: PointBatch, mesh: Mesh, leaf_size,
         batch.data, per_shard_counts.astype(jnp.int32), batch.meta)
     total = jnp.sum(counts).astype(jnp.int32)
     return PointBatch(out_data, total, batch.schema, batch.meta), counts
+
+
+def sharded_voxel_downsample_merged(batch: PointBatch, mesh: Mesh, leaf_size,
+                                    axis: str = POINTS_AXIS,
+                                    semantics: str = "floor",
+                                    per_shard_counts: Optional[jnp.ndarray]
+                                    = None,
+                                    **voxel_kwargs):
+    """Distributed voxelize + EXACT global merge in one call.
+
+    Runs :func:`sharded_voxel_downsample` ``with_aux``, then merges the
+    per-shard partials with :func:`~pasture_tpu.ops.merge_voxel_batches`
+    — the result's centroid VALUES equal the one-shot single-device
+    voxelization for mean/max policies (mode: weighted-vote envelope).
+    The merge operates on the global view of the sharded arrays (voxel
+    statistics, bounded by the voxel count — not raw points); XLA
+    inserts the gather/resharding collectives.
+
+    Returns ``(batch, aux)`` in the merged (replicated-logical) layout.
+    """
+    vox, _, aux = sharded_voxel_downsample(
+        batch, mesh, leaf_size, axis=axis, semantics=semantics,
+        per_shard_counts=per_shard_counts, with_aux=True, **voxel_kwargs)
+    from ..ops.voxel_merge import merge_voxel_batches
+    return merge_voxel_batches([(vox, aux)],
+                               policies=voxel_kwargs.get("policies"))
 
 
 def distributed_normals(batch: PointBatch, mesh: Mesh, k: int,

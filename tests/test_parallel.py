@@ -66,6 +66,31 @@ def test_sharded_voxel_downsample(mesh, rng):
     assert single <= total <= 1000
 
 
+def test_sharded_voxel_downsample_merged_matches_single_device(mesh, rng):
+    """The with_aux + merge path must reproduce the single-device result at
+    VALUE level: centroids, counts, intensity means — not just the voxel
+    count (round-3 verdict task 1)."""
+    from pasture_tpu.ops import voxel_downsample
+    from pasture_tpu.parallel import sharded_voxel_downsample_merged
+
+    host, batch = _batch(rng)
+    sharded = shard_batch(batch, mesh)
+    merged, aux = sharded_voxel_downsample_merged(sharded, mesh, 1.0)
+
+    single = voxel_downsample(batch, 1.0, semantics="floor")
+    nv = int(np.asarray(single.count))
+    assert int(np.asarray(merged.count)) == nv
+    # both results are ordered by cell key: rows align
+    np.testing.assert_allclose(
+        np.asarray(merged.data[att.POSITION_3D.name])[:nv],
+        np.asarray(single.data[att.POSITION_3D.name])[:nv],
+        rtol=1e-9, atol=1e-9)
+    di = (np.asarray(merged.data[att.INTENSITY.name])[:nv].astype(np.int64)
+          - np.asarray(single.data[att.INTENSITY.name])[:nv].astype(np.int64))
+    assert np.abs(di).max() <= 1
+    assert int(np.asarray(aux["counts"]).sum()) == 1000
+
+
 def test_morton_partition_preserves_and_orders(mesh, rng):
     host, batch = _batch(rng, n=1000, cap=1024)
     sharded = shard_batch(batch, mesh)

@@ -46,19 +46,58 @@ def test_streaming_bounds_matches_full_read(tmp_path, rng):
     np.testing.assert_allclose(bb.max, pos.max(axis=0), atol=1e-5)
 
 
-def test_streaming_voxel_downsample(tmp_path, rng):
+def test_streaming_voxel_downsample_matches_one_shot_values(tmp_path, rng):
+    """The streamed two-stage merge must reproduce the one-shot global
+    voxelization at VALUE level (not just the voxel count): positions
+    (mean) to f32-summation tolerance, intensity (mean-cast-to-int)
+    within one unit of the integer cast, classification (mode) exactly
+    on spatially-coherent classes, GPS time (max) exactly."""
+    n = 20_000
+    schema = PointSchema.from_attributes(
+        [att.POSITION_3D, att.INTENSITY, att.CLASSIFICATION, att.GPS_TIME])
+    pos = np.round(rng.uniform(0, 20, (n, 3)), 3)
+    # classes are spatially coherent (a function of position), the
+    # realistic case where the weighted mode vote is exact
+    cls = (np.floor(pos[:, 0]) % 7).astype(np.uint8)
+    cols = {
+        att.POSITION_3D.name: pos,
+        att.INTENSITY.name: rng.integers(0, 1000, n).astype(np.uint16),
+        att.CLASSIFICATION.name: cls,
+        att.GPS_TIME.name: rng.uniform(0, 1e5, n),
+    }
+    buf = HostPointBuffer.from_columns(schema, cols)
     path = tmp_path / "big.las"
-    buf = _write_big_las(path, rng, n=20_000)
+    write_all(buf, path)
+
     out = streaming_voxel_downsample(path, 1.0, chunk_points=4096)
-    n_vox = int(np.asarray(out.count))
-    # one-shot downsample of the whole cloud as reference for voxel count
+
     from pasture_tpu.buffers.device import PointBatch
+    from pasture_tpu.io import read_all
     from pasture_tpu.ops.voxel import voxel_downsample
     import jax.numpy as jnp
-    full = voxel_downsample(PointBatch.from_host(buf), 1.0,
-                            bounds=(jnp.asarray(buf.get(att.POSITION_3D.name).min(0), jnp.float32), None),
-                            semantics="floor")
-    assert n_vox == int(np.asarray(full.count))
+    # one-shot reference on the READ-BACK data (LAS i32 encoding truncates
+    # positions by up to one scale unit — Rust-`as` parity)
+    rbuf = read_all(path)
+    full = voxel_downsample(
+        PointBatch.from_host(rbuf), 1.0,
+        bounds=(jnp.asarray(rbuf.get_converted(att.POSITION_3D).min(0),
+                            jnp.float32), None),
+        semantics="floor")
+    nv = int(np.asarray(full.count))
+    assert int(np.asarray(out.count)) == nv
+    # both paths order voxels by cell key: rows align
+    np.testing.assert_allclose(
+        np.asarray(out.data[att.POSITION_3D.name])[:nv],
+        np.asarray(full.data[att.POSITION_3D.name])[:nv], atol=1e-5)
+    di = (np.asarray(out.data[att.INTENSITY.name])[:nv].astype(np.int64)
+          - np.asarray(full.data[att.INTENSITY.name])[:nv].astype(np.int64))
+    assert np.abs(di).max() <= 1
+    np.testing.assert_array_equal(
+        np.asarray(out.data[att.CLASSIFICATION.name])[:nv],
+        np.asarray(full.data[att.CLASSIFICATION.name])[:nv])
+    np.testing.assert_allclose(
+        np.asarray(out.data[att.GPS_TIME.name])[:nv],
+        np.asarray(full.data[att.GPS_TIME.name])[:nv], rtol=1e-6)
 
 
 def test_streaming_voxel_downsample_forwards_fast_path_kwargs(tmp_path):

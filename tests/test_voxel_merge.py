@@ -1,0 +1,172 @@
+"""Exact two-stage voxel merge (ops/voxel_merge.py) — value-level tests
+against the one-shot global voxelization (voxel_grid.rs:443-700 reduction
+semantics carried across chunk boundaries)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pasture_tpu.buffers.device import PointBatch
+from pasture_tpu.layout import attributes as att
+from pasture_tpu.layout.schema import PointSchema
+from pasture_tpu.ops import merge_voxel_batches, voxel_downsample
+
+SCHEMA = PointSchema.from_attributes(
+    [att.POSITION_3D, att.INTENSITY, att.CLASSIFICATION, att.GPS_TIME])
+
+
+def _mk(pos, inten, cls, gps, sl):
+    m = sl.stop - sl.start
+    cap = max(-(-m // 8) * 8, 8)
+    d = {att.POSITION_3D.name:
+             jnp.asarray(np.pad(pos[sl], [(0, cap - m), (0, 0)])),
+         att.INTENSITY.name: jnp.asarray(np.pad(inten[sl], (0, cap - m))),
+         att.CLASSIFICATION.name: jnp.asarray(np.pad(cls[sl], (0, cap - m))),
+         att.GPS_TIME.name: jnp.asarray(np.pad(gps[sl], (0, cap - m)))}
+    return PointBatch(d, jnp.asarray(m, jnp.int32), SCHEMA, {})
+
+
+def _cloud(rng, n=4096, classes="coherent"):
+    pos = rng.uniform(0, 10, (n, 3)).astype(np.float32)
+    inten = rng.integers(0, 65536, n).astype(np.uint16)
+    if classes == "coherent":
+        cls = (np.floor(pos[:, 0] * 2) % 7).astype(np.uint8)
+    else:
+        cls = rng.integers(0, 8, n, dtype=np.uint8)
+    gps = rng.uniform(0, 1e5, n)
+    return pos, inten, cls, gps
+
+
+def _oracle(pos, inten, cls, gps, leaf):
+    """f64 per-voxel reductions, keyed by cell, in Morton row order of the
+    one-shot output (cells are compared via the outputs' own grouping)."""
+    cells = np.floor(pos.astype(np.float64) / leaf).astype(np.int64)
+    groups = {}
+    for i in range(len(pos)):
+        groups.setdefault(tuple(cells[i]), []).append(i)
+    return groups
+
+
+def test_merge_matches_one_shot_values(rng):
+    pos, inten, cls, gps, = _cloud(rng)
+    n = len(pos)
+    bounds = (jnp.zeros(3, jnp.float32), None)
+    one = voxel_downsample(_mk(pos, inten, cls, gps, slice(0, n)), 0.5,
+                           bounds=bounds, semantics="floor")
+    cuts = [0, 700, 1500, 2900, n]
+    parts = [voxel_downsample(_mk(pos, inten, cls, gps, slice(a, b)), 0.5,
+                              bounds=bounds, semantics="floor",
+                              with_aux=True)
+             for a, b in zip(cuts[:-1], cuts[1:])]
+    merged, aux = merge_voxel_batches(parts)
+    nv = int(one.count)
+    assert int(merged.count) == nv
+    # both outputs are ordered by cell key: rows align
+    np.testing.assert_allclose(
+        np.asarray(merged.data[att.POSITION_3D.name])[:nv],
+        np.asarray(one.data[att.POSITION_3D.name])[:nv], atol=2e-5)
+    di = (np.asarray(merged.data[att.INTENSITY.name])[:nv].astype(np.int64)
+          - np.asarray(one.data[att.INTENSITY.name])[:nv].astype(np.int64))
+    assert np.abs(di).max() <= 1  # integer cast of two f32 roundings
+    np.testing.assert_array_equal(
+        np.asarray(merged.data[att.CLASSIFICATION.name])[:nv],
+        np.asarray(one.data[att.CLASSIFICATION.name])[:nv])
+    np.testing.assert_allclose(
+        np.asarray(merged.data[att.GPS_TIME.name])[:nv],
+        np.asarray(one.data[att.GPS_TIME.name])[:nv], rtol=1e-6)
+    # aux invariants
+    assert int(np.asarray(aux["counts"]).sum()) == n
+    assert np.all(np.asarray(aux["counts"])[:nv] >= 1)
+    mc = np.asarray(aux["mode_counts"][att.CLASSIFICATION.name])[:nv]
+    assert np.all(mc >= 1)
+    assert np.all(mc <= np.asarray(aux["counts"])[:nv])
+
+
+def test_merge_against_f64_oracle(rng):
+    """Merged centroids agree with an f64 host oracle of the global mean
+    (not just with the one-shot device path)."""
+    pos, inten, cls, gps = _cloud(rng, n=2048)
+    n = len(pos)
+    bounds = (jnp.zeros(3, jnp.float32), None)
+    parts = [voxel_downsample(_mk(pos, inten, cls, gps, slice(a, b)), 0.5,
+                              bounds=bounds, semantics="floor",
+                              with_aux=True)
+             for a, b in ((0, 900), (900, n))]
+    merged, aux = merge_voxel_batches(parts)
+    nv = int(merged.count)
+    groups = _oracle(pos, inten, cls, gps, 0.5)
+    assert nv == len(groups)
+    got = np.asarray(merged.data[att.POSITION_3D.name])[:nv]
+    cnts = np.asarray(aux["counts"])[:nv]
+    want = {cell: pos[m].astype(np.float64).mean(axis=0)
+            for cell, m in groups.items()}
+    # match each output row to the oracle voxel containing it
+    for j in range(nv):
+        cell = tuple(np.floor(got[j] / 0.5).astype(int))
+        assert cell in want
+        np.testing.assert_allclose(got[j], want[cell], atol=2e-5)
+        assert cnts[j] == len(groups[cell])
+
+
+def test_merge_folds(rng):
+    """merge(merge(a,b),c) == merge(a,b,c) for mean/max (fold form used by
+    streaming)."""
+    pos, inten, cls, gps = _cloud(rng, n=3072)
+    bounds = (jnp.zeros(3, jnp.float32), None)
+    parts = [voxel_downsample(_mk(pos, inten, cls, gps, slice(a, b)), 0.5,
+                              bounds=bounds, semantics="floor",
+                              with_aux=True)
+             for a, b in ((0, 1024), (1024, 2048), (2048, 3072))]
+    flat = merge_voxel_batches(parts)
+    fold = merge_voxel_batches([merge_voxel_batches(parts[:2]), parts[2]])
+    nv = int(flat[0].count)
+    assert int(fold[0].count) == nv
+    for name in (att.POSITION_3D.name, att.GPS_TIME.name):
+        np.testing.assert_allclose(
+            np.asarray(fold[0].data[name])[:nv],
+            np.asarray(flat[0].data[name])[:nv], rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(fold[1]["counts"])[:nv],
+                                  np.asarray(flat[1]["counts"])[:nv])
+
+
+def test_mode_envelope_documented(rng):
+    """The weighted mode vote's envelope: exact on spatially-coherent
+    classes (realistic data); on worst-case uniform-random classes the
+    disagreement rate with the one-shot mode stays small, and every
+    disagreement is a genuinely split voxel."""
+    pos, inten, cls, gps = _cloud(rng, n=4096, classes="random")
+    n = len(pos)
+    bounds = (jnp.zeros(3, jnp.float32), None)
+    one = voxel_downsample(_mk(pos, inten, cls, gps, slice(0, n)), 0.5,
+                           bounds=bounds, semantics="floor")
+    step = n // 4
+    parts = [voxel_downsample(
+        _mk(pos, inten, cls, gps, slice(a, min(a + step, n))), 0.5,
+        bounds=bounds, semantics="floor", with_aux=True)
+        for a in range(0, n, step)]
+    merged, aux = merge_voxel_batches(parts)
+    nv = int(one.count)
+    assert int(merged.count) == nv
+    c1 = np.asarray(one.data[att.CLASSIFICATION.name])[:nv]
+    c2 = np.asarray(merged.data[att.CLASSIFICATION.name])[:nv]
+    dis = (c1 != c2)
+    assert dis.mean() < 0.02, dis.mean()
+    # disagreements only on voxels split across parts: every single-part
+    # voxel is exact.  A voxel is single-part iff some part holds its full
+    # count.
+    cnts = np.asarray(aux["counts"])[:nv]
+    # positions identify rows across paths (they match to 2e-5)
+    p1 = np.asarray(one.data[att.POSITION_3D.name])[:nv]
+    p2 = np.asarray(merged.data[att.POSITION_3D.name])[:nv]
+    np.testing.assert_allclose(p2, p1, atol=2e-5)
+    split = np.zeros(nv, bool)
+    mkeys = list(zip(*(np.asarray(k)[:nv] for k in aux["keys"])))
+    lookup = {k: i for i, k in enumerate(mkeys)}
+    for part, paux in parts:
+        pc = np.asarray(paux["counts"])
+        pn = int(part.count)
+        pkeys = list(zip(*(np.asarray(k)[:pn] for k in paux["keys"])))
+        for k, c in zip(pkeys, pc[:pn]):
+            j = lookup[k]
+            if c < cnts[j]:
+                split[j] = True
+    assert not np.any(dis & ~split)
