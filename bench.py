@@ -26,7 +26,14 @@ a K1-iteration and a K2-iteration program — constant overhead cancels.
 """
 
 import json
+import sys
 import time
+
+if "--cpu-reference" in sys.argv:
+    # reference process: force the CPU backend BEFORE any jax use (the
+    # sitecustomize hook would otherwise register the TPU backend)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 import jax
 import jax.numpy as jnp
@@ -96,10 +103,9 @@ def make_batch(n: int) -> PointBatch:
     return PointBatch(data, jnp.asarray(n, jnp.int32), schema, {})
 
 
-def pipeline(batch: PointBatch, shift: jnp.ndarray) -> jnp.ndarray:
-    """One EXACT transform+voxelize step.  Returns a checksum that depends
-    on EVERY output column so XLA cannot dead-code-eliminate any
-    reduction."""
+def pipeline_batch(batch: PointBatch, shift: jnp.ndarray,
+                   tiles: int = TILES) -> PointBatch:
+    """One EXACT transform+voxelize step, returning the voxel batch."""
     scale = jnp.asarray([0.001, 0.001, 0.001], jnp.float32)
     local = batch.data["LASLocalPosition"]
     rot = jnp.asarray(_ROT)
@@ -119,10 +125,17 @@ def pipeline(batch: PointBatch, shift: jnp.ndarray) -> jnp.ndarray:
     data = dict(batch.data)
     del data["LASLocalPosition"]
     b = PointBatch(data, batch.count, batch.schema, batch.meta)
-    out = voxel_downsample(b, LEAF, bounds=(bmin, None), semantics="floor",
-                           grid_bits=10, sort_tiles=TILES,
-                           precomputed=(keys, rword),
-                           local_affine=(scale, rot, t, coeffs))
+    return voxel_downsample(b, LEAF, bounds=(bmin, None), semantics="floor",
+                            grid_bits=10, sort_tiles=tiles,
+                            precomputed=(keys, rword),
+                            local_affine=(scale, rot, t, coeffs))
+
+
+def pipeline(batch: PointBatch, shift: jnp.ndarray) -> jnp.ndarray:
+    """One EXACT transform+voxelize step.  Returns a checksum that depends
+    on EVERY output column so XLA cannot dead-code-eliminate any
+    reduction."""
+    out = pipeline_batch(batch, shift)
     checksum = out.count
     for col in out.data.values():
         checksum = checksum + jnp.sum(col[:16].astype(jnp.float32)
@@ -157,7 +170,62 @@ def timed_fetch(fn, batch, repeats: int = 5) -> float:
     return best
 
 
+N_VERIFY = 1 << 19        # verification shape (full 4M would double compile)
+_VERIFY_ROWS = 1 << 15    # output rows compared elementwise
+
+
+def _verify_arrays() -> dict:
+    """Run ONE pipeline step at N_VERIFY on the current backend and fetch
+    (count, leading output rows) — the numeric fingerprint compared
+    between the device and the CPU reference."""
+    batch = make_batch(N_VERIFY)
+    out = jax.jit(lambda b: pipeline_batch(b, jnp.float32(0)))(batch)
+    arrays = {"count": np.asarray(int(out.count))}
+    for name, col in out.data.items():
+        arrays[name] = np.asarray(col[:_VERIFY_ROWS])
+    return arrays
+
+
+def verify_device_vs_cpu() -> None:
+    """TPU numerics check (round-3 verdict task 4): the device pipeline —
+    Mosaic head kernel, tiled sort, fused reduce kernel, compaction —
+    must reproduce the CPU/interpret pipeline's values, not merely run.
+    Exact for count and integer columns (all integer sums stay below
+    2^24, so they are order-independent in f32); positions to f32
+    fusion/FMA tolerance.  A wrong-result kernel or collective fails the
+    bench here instead of shipping a wrong headline."""
+    import os
+    import subprocess
+    dev = _verify_arrays()
+    ref_path = "/tmp/pasture_bench_cpu_ref.npz"
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    subprocess.run([sys.executable, __file__, "--cpu-reference", ref_path],
+                   check=True, env=env)
+    ref = np.load(ref_path)
+    assert int(dev["count"]) == int(ref["count"]), \
+        (int(dev["count"]), int(ref["count"]))
+    for name in ref.files:
+        if name == "count":
+            continue
+        a, b = dev[name], ref[name]
+        if np.issubdtype(a.dtype, np.floating):
+            np.testing.assert_allclose(a, b, atol=1e-4, err_msg=name)
+        else:
+            di = np.abs(a.astype(np.int64) - b.astype(np.int64)).max()
+            assert di <= 1, (name, di)  # trunc cast of two f32 roundings
+    print(f"verify: device == cpu reference over {int(dev['count'])} "
+          f"voxels", file=sys.stderr)
+
+
 def main() -> None:
+    if "--cpu-reference" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--cpu-reference") + 1]
+        assert jax.default_backend() == "cpu"
+        np.savez(out_path, **_verify_arrays())
+        return
+
+    verify_device_vs_cpu()
     batch = make_batch(N)
     int(run_overhead(batch))  # compile + first-fetch path setup
     int(run_pipeline(batch))

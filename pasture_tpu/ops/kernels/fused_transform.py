@@ -292,13 +292,23 @@ def exact_local_base_coeffs(scale: jnp.ndarray, rotation: jnp.ndarray,
     leaf = jnp.float32(leaf_size)
     # l_ref_a(c) = sum_b Rinv[a,b]*((c_b+mid)*leaf + bmin_b - t_b)/scale_a
     # Rinv = rot^T; split into per-cell slope M and constant C = Chi+Clo
-    m = (rot.T * leaf / scale[:, None]) * float(1 << _BASE_SHIFT)
+    #
+    # LAYOUT-BUG WORKAROUND (found by bench.py's device-vs-CPU numeric
+    # verification, round 4): on the tunneled TPU backend,
+    # ``jnp.round(x.T * ...)`` rounds the UNDERLYING BUFFER and drops the
+    # transpose — the off-diagonal coefficients came back sign-flipped,
+    # residuals overflowed their window and centroids were silently wrong
+    # on device.  Collapsing to 1-D BEFORE the round sidesteps the broken
+    # round-on-transposed-layout pattern (verified on-chip; the reshape
+    # itself lowers correctly).
+    m9 = (rot.T * leaf / scale[:, None] * float(1 << _BASE_SHIFT)
+          ).reshape(9)
     const = jnp.sum(rot.T * (mid * leaf + bmin - trans)[None, :],
                     axis=1) / scale
     c_hi = jnp.floor(const)
     c_lo = jnp.round((const - c_hi) * float(1 << _BASE_SHIFT))
     return jnp.concatenate([
-        jnp.round(m).reshape(9).astype(jnp.int32),
+        jnp.round(m9).astype(jnp.int32),
         c_hi.astype(jnp.int32), c_lo.astype(jnp.int32)])
 
 

@@ -104,6 +104,11 @@ _INVALID_KEY = _np.uint32(0xFFFFFFFF)
 # real accelerator only — interpret mode is too slow for production use)
 _FORCE_FUSED_REDUCE = None
 
+# same for the Pallas blockwise bitonic tile sort (kernels/tile_sort_kernel):
+# replaces lax.sort for the tiled hot path when the operands are 32-bit and
+# the tile length is a supported power of two
+_FORCE_PALLAS_TILE_SORT = None
+
 
 def _cast_as(x: jnp.ndarray, dtype) -> jnp.ndarray:
     """Rust ``as``-style cast of a float reduction result back to the
@@ -391,9 +396,34 @@ def voxel_downsample(batch: PointBatch, leaf_size,
         """Sort each of ``sort_tiles`` contiguous row-tiles independently —
         batched row sorts are ~35% cheaper than one flat sort (measured
         (64, 64K) vs 4M flat on v5e) and equal the global sort when tiles
-        are spatially disjoint (every segment then stays within a tile)."""
+        are spatially disjoint (every segment then stays within a tile).
+
+        When every operand is 32-bit and the tile length is a supported
+        power of two, the sort runs as a blockwise Pallas bitonic network
+        entirely in VMEM (kernels/tile_sort_kernel.py) instead of XLA's
+        general sort — one HBM pass per stream; equal to ``lax.sort`` up
+        to the order within equal-key runs, which every downstream
+        reduction is invariant to."""
         if sort_tiles == 1:
             return lax.sort(operands, num_keys=num_keys, is_stable=False)
+        from .kernels.tile_sort_kernel import (supports_tile_sort,
+                                               tile_sort_pallas)
+        tlen = cap // sort_tiles
+        use_pallas = (_FORCE_PALLAS_TILE_SORT
+                      if _FORCE_PALLAS_TILE_SORT is not None
+                      else jax.default_backend() != "cpu")
+        if (use_pallas and supports_tile_sort(cap, tlen, len(operands))
+                and all(jnp.dtype(o.dtype).itemsize == 4 for o in operands)
+                and all(jnp.issubdtype(o.dtype, jnp.integer)
+                        for o in operands[:num_keys])):
+            dts = [o.dtype for o in operands]
+            streams = [o if jnp.issubdtype(o.dtype, jnp.integer)
+                       else lax.bitcast_convert_type(o, jnp.uint32)
+                       for o in operands]
+            out = tile_sort_pallas(tuple(streams), tlen, num_keys=num_keys)
+            return tuple(o if o.dtype == dt
+                         else lax.bitcast_convert_type(o, dt)
+                         for o, dt in zip(out, dts))
         shaped = tuple(o.reshape(sort_tiles, -1) for o in operands)
         out = lax.sort(shaped, dimension=1, num_keys=num_keys,
                        is_stable=False)

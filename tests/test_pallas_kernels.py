@@ -443,3 +443,106 @@ def test_exact_local_leaf_contract_enforced():
         with pytest.raises(ValueError, match="exact_local_max_leaf"):
             exact_local_base_coeffs(scale, eye, zero, zero, bound * 1.01,
                                     semantics=sem)
+
+
+def test_tile_sort_pallas_matches_lax_sort(rng):
+    """Blockwise bitonic tile sort == lax.sort on (tiles, tile_len) rows:
+    keys bit-identical; (key, payload...) tuples form identical per-tile
+    multisets (both sorts are unstable within equal keys); 2-key
+    lexicographic mode matches on both key streams."""
+    import jax.numpy as jnp
+    from jax import lax
+    from pasture_tpu.ops.kernels.tile_sort_kernel import (
+        supports_tile_sort, tile_sort_pallas)
+
+    n, tile = 2 * 65536, 512
+    assert supports_tile_sort(n, tile, 3)
+    assert not supports_tile_sort(n, 96, 3)       # not a supported tile
+    assert not supports_tile_sort(n + 4, tile, 3)  # not block-aligned
+    key = rng.integers(0, 1 << 10, n).astype(np.uint32)  # many duplicates
+    a = rng.integers(0, 1 << 32, n).astype(np.uint32)
+    f = rng.random(n).astype(np.float32)
+    ops = (jnp.asarray(key), jnp.asarray(a),
+           lax.bitcast_convert_type(jnp.asarray(f), jnp.uint32))
+    got = tile_sort_pallas(ops, tile, num_keys=1, interpret=True)
+    want = tuple(w.reshape(-1) for w in lax.sort(
+        tuple(o.reshape(-1, tile) for o in ops), dimension=1, num_keys=1,
+        is_stable=False))
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+
+    def canon(cols, i):
+        t = np.stack([np.asarray(c).reshape(-1, tile)[i] for c in cols],
+                     axis=1)
+        return np.sort(np.ascontiguousarray(t).view(
+            [('k', '<u4'), ('a', '<u4'), ('b', '<u4')]).ravel())
+
+    for i in range(0, n // tile, 17):
+        np.testing.assert_array_equal(canon(got, i), canon(want, i))
+
+    got2 = tile_sort_pallas(ops, tile, num_keys=2, interpret=True)
+    want2 = tuple(w.reshape(-1) for w in lax.sort(
+        tuple(o.reshape(-1, tile) for o in ops), dimension=1, num_keys=2,
+        is_stable=False))
+    for g2, w2 in zip(got2[:2], want2[:2]):
+        np.testing.assert_array_equal(np.asarray(g2), np.asarray(w2))
+
+
+def test_voxel_pipeline_with_pallas_tile_sort(rng):
+    """The full exact-local voxel pipeline with the Pallas tile sort forced
+    on must reproduce the lax.sort pipeline's outputs exactly."""
+    import jax.numpy as jnp
+    from pasture_tpu.buffers.device import PointBatch
+    from pasture_tpu.layout import attributes as att
+    from pasture_tpu.layout.schema import PointSchema
+    from pasture_tpu.ops import voxel_downsample
+    from pasture_tpu.ops import voxel as voxel_mod
+    from pasture_tpu.ops.kernels import fused_voxel_head_exact_local
+    from pasture_tpu.ops.kernels.fused_transform import (
+        exact_local_base_coeffs)
+
+    n, tiles = 65536 * 2, 256          # tile_len = 512
+    l = n // tiles
+    leaf = 0.5
+    scale = np.asarray([0.001] * 3, np.float32)
+    rot = np.eye(3, dtype=np.float32)
+    trans = np.zeros(3, np.float32)
+    zs = np.concatenate([rng.integers(i * 500, (i + 1) * 500, l)
+                         for i in range(tiles)])
+    local = np.stack([rng.integers(0, 100_000, n),
+                      rng.integers(0, 100_000, n), zs],
+                     axis=1).astype(np.int32)
+    inten = rng.integers(0, 65536, n).astype(np.uint16)
+    cls = rng.integers(0, 32, n).astype(np.uint8)
+    schema = PointSchema.from_attributes(
+        [att.POSITION_3D, att.INTENSITY, att.CLASSIFICATION])
+    bmin = jnp.zeros(3, jnp.float32)
+    coeffs = exact_local_base_coeffs(
+        jnp.asarray(scale), jnp.asarray(rot), jnp.asarray(trans), bmin,
+        leaf, semantics="floor")
+    keys, rword = fused_voxel_head_exact_local(
+        jnp.asarray(local), jnp.asarray(scale), jnp.asarray(rot),
+        jnp.asarray(trans), bmin, leaf, coeffs, semantics="floor",
+        interpret=True)
+    batch = PointBatch(
+        {att.INTENSITY.name: jnp.asarray(inten),
+         att.CLASSIFICATION.name: jnp.asarray(cls)},
+        jnp.asarray(n, jnp.int32), schema, {})
+    affine = (jnp.asarray(scale), jnp.asarray(rot), jnp.asarray(trans),
+              coeffs)
+    results = {}
+    for forced in (False, True):
+        voxel_mod._FORCE_PALLAS_TILE_SORT = forced
+        try:
+            results[forced] = voxel_downsample(
+                batch, leaf, bounds=(bmin, None), semantics="floor",
+                grid_bits=10, sort_tiles=tiles, precomputed=(keys, rword),
+                local_affine=affine)
+        finally:
+            voxel_mod._FORCE_PALLAS_TILE_SORT = None
+    a, b = results[False], results[True]
+    assert int(a.count) == int(b.count)
+    nv = int(a.count)
+    for name in a.data:
+        np.testing.assert_allclose(np.asarray(a.data[name])[:nv],
+                                   np.asarray(b.data[name])[:nv],
+                                   atol=1e-5, err_msg=name)
