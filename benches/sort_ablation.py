@@ -34,7 +34,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
-jax.config.update("jax_enable_x64", True)  # u64 operands (script-local)
+if "--pallas512" not in sys.argv:
+    # u64 operands (script-local); the pallas512 mode keeps x64 OFF —
+    # its kernels need no u64 and x64 trips a jax lowering-cache bug
+    # (KeyError in _lower_jaxpr_to_fun_cached) for pallas inside fori_loop
+    jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp
 import numpy as np
@@ -71,10 +75,15 @@ def main():
     x, y, z = (jnp.asarray(rng.random(N, dtype=np.float32))
                for _ in range(3))
 
-    def tiled(ops, nk):
-        shaped = tuple(o.reshape(TILES, -1) for o in ops)
+    def tiled(ops, nk, tiles=TILES):
+        shaped = tuple(o.reshape(tiles, -1) for o in ops)
         out = lax.sort(shaped, dimension=1, num_keys=nk, is_stable=False)
         return sum(chk(o.reshape(-1)) for o in out)
+
+    def pallas_tiled(ops, nk, tile_len):
+        from pasture_tpu.ops.kernels.tile_sort_kernel import tile_sort_pallas
+        out = tile_sort_pallas(tuple(ops), tile_len, num_keys=nk)
+        return sum(chk(o) for o in out)
 
     def loop(body_fn):
         @jax.jit
@@ -122,5 +131,60 @@ def main():
                   flush=True)
 
 
+def main_pallas512():
+    """Headline shape (8192 tiles x 512): XLA's sort network vs the
+    Pallas VMEM-resident bitonic (kernels/tile_sort_kernel.py) on the
+    exact-local 3-operand sort — round-4 verdict task 3.  The checksum
+    touches the head of EVERY tile so XLA cannot slice the sort down to
+    the first tile (which dead-code-eliminates 8191/8192 of the work and
+    times as negative)."""
+    rng = np.random.default_rng(7)
+    key = jnp.asarray(rng.integers(0, 1 << 30, size=N, dtype=np.uint32))
+    word = jnp.asarray(rng.integers(0, 1 << 31, size=N, dtype=np.uint32))
+    qword = jnp.asarray(rng.integers(0, 1 << 30, size=N, dtype=np.uint32))
+    tiles, tl = 8192, 512
+
+    def chk_tiles(streams):
+        return sum(
+            jnp.sum(o.reshape(tiles, tl)[:, :2].astype(jnp.uint32)
+                    ).astype(jnp.int32) for o in streams)
+
+    def xla(k, w, q):
+        shaped = tuple(o.reshape(tiles, tl) for o in (k, w, q))
+        out = lax.sort(shaped, dimension=1, num_keys=2, is_stable=False)
+        return chk_tiles(tuple(o.reshape(-1) for o in out))
+
+    def pallas(k, w, q):
+        from pasture_tpu.ops.kernels.tile_sort_kernel import (
+            tile_sort_pallas)
+        return chk_tiles(tile_sort_pallas((k, w, q), tl, num_keys=2))
+
+    def loop(body_fn):
+        @jax.jit
+        def run(key, word, qword):
+            def body(i, carry):
+                k = key ^ carry.astype(jnp.uint32)
+                return carry + body_fn(k, word, qword)
+            return lax.fori_loop(0, K, body, jnp.asarray(0, jnp.int32))
+        return run
+
+    progs = [("overhead", loop(lambda k, w, q: chk_tiles((k,)))),
+             ("s3_xla512", loop(xla)),
+             ("s3_pal512", loop(pallas))]
+    t0 = None
+    for name, fn in progs:
+        print(f"{name} ...", flush=True)
+        t = timed(fn, key, word, qword)
+        if name == "overhead":
+            t0 = t
+            print(f"{name:9s} raw {t*1e3:8.2f} ms", flush=True)
+        else:
+            print(f"{name:9s} per-iter {(t - t0) / K * 1e3:8.2f} ms",
+                  flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--pallas512" in sys.argv:
+        main_pallas512()
+    else:
+        main()

@@ -110,26 +110,34 @@ def _normals_device(pos: jnp.ndarray, valid: jnp.ndarray, k: int,
 
 
 def _normals_scan_exact(pos: jnp.ndarray, valid: jnp.ndarray, k: int,
-                        query_tile: int = 1024, chunk: int = 131072,
+                        query_tile: int = 1024, chunk: int = 8192,
                         queries: Optional[jnp.ndarray] = None):
-    """EXACT brute-force k-NN normals at any N — O(N²) compute tiled onto
-    the MXU with ZERO gathers (reference kd-tree parity at scale,
+    """EXACT k-NN normals at any N — MXU distance tiles with a CERTIFIED
+    Morton-block prefilter (reference kd-tree parity at scale,
     normal_estimation.rs:79-484; removes the ~64k cap of
-    :func:`_normals_device`).
+    :func:`_normals_device` and the O(N²)-always cost of the round-3
+    scan).
 
-    Two passes per (query-tile, target-chunk) block:
+    Structure (all device, no gathers — payloads ride sorts, blocks are
+    contiguous ``dynamic_slice`` reads):
 
-    1. running top-k scan over target chunks keeps each query's k
-       smallest distances (MXU distance matmul + ``lax.top_k`` on the
-       concat of the carry and the block's distance row) — only
-       DISTANCES are kept, never indices, so nothing is gathered;
-    2. the k-th distance becomes a per-query radius and the
+    1. targets AND queries are Morton-sorted (positions carried through
+       the sort; the query permutation is carried and inverted by a
+       second sort at the end), so consecutive queries/targets are
+       spatially close;
+    2. targets split into ``chunk``-row blocks with per-block AABBs;
+    3. per query tile: every block gets a LOWER BOUND on the distance
+       from the tile's AABB to the block's AABB; blocks are visited in
+       ascending-bound order inside a ``while_loop`` that EXITS once the
+       next bound exceeds the tile's current worst k-th distance — a
+       proof that no unvisited block can contain a k-NN of any query in
+       the tile, so the result equals the full O(N²) scan exactly;
+    4. the k-th distance becomes a per-query radius and the
        neighbourhood moments accumulate IN EACH QUERY'S OWN FRAME from
-       masked broadcast differences (p - q): raw global second moments
-       would lose the neighbourhood variance to f32 cancellation at
-       survey-scale coordinates (E[p²] ~ 1e4 vs variance ~ 1e-4), while
-       |p - q| is bounded by the k-NN radius, so centred products stay
-       in range.
+       masked broadcast differences (p - q) over the same certified
+       block prefix: raw global second moments would lose the
+       neighbourhood variance to f32 cancellation at survey scale,
+       while |p - q| is bounded by the k-NN radius.
 
     Ties at the k-th distance (e.g. duplicated points) all enter the
     moment sums — the plane fit then averages over count ≥ k points
@@ -141,72 +149,139 @@ def _normals_scan_exact(pos: jnp.ndarray, valid: jnp.ndarray, k: int,
     into bounded device executions (compute_normals does this above
     ~256k so a single call never runs long enough to trip remote-worker
     execution deadlines)."""
+    from ..math.morton import morton_encode_dual32
+
     qpos = pos if queries is None else queries
     n = qpos.shape[0]
     dtype = pos.dtype
-    # large chunks amortize the per-step top-k launch (measured: 16k
-    # chunks 5.5 s vs 128k chunks 3.8 s at 256k points on v5e); clamp to
-    # the padded target size so small clouds don't over-pad
-    chunk = min(chunk, 1 << max(14, (pos.shape[0] - 1).bit_length()))
+    big = jnp.asarray(jnp.inf, dtype)
+    chunk = min(chunk, 1 << max(11, (pos.shape[0] - 1).bit_length()))
+
+    # ---- Morton order for locality (targets and queries independently) ----
+    pmin = jnp.min(jnp.where(valid[:, None], pos, big), axis=0)
+    pmax = jnp.max(jnp.where(valid[:, None], pos, -big), axis=0)
+    extent = jnp.maximum(jnp.max(pmax - pmin), 1e-9)  # isotropic cells
+    inval = jnp.uint32(0xFFFFFFFF)
+
+    def mkeys(p, v):
+        cell = jnp.clip((p - pmin[None, :]) / extent * (1 << 20),
+                        0, (1 << 20) - 1).astype(jnp.uint32)
+        hi, lo = morton_encode_dual32(cell[:, 0], cell[:, 1], cell[:, 2])
+        return jnp.where(v, hi, inval), jnp.where(v, lo, inval)
+
+    thi, tlo = mkeys(pos, valid)
+    _, _, tx, ty, tz, tv = jax.lax.sort(
+        (thi, tlo, pos[:, 0], pos[:, 1], pos[:, 2],
+         valid.astype(jnp.float32)), num_keys=2, is_stable=False)
+
+    qvalid = jnp.ones((n,), bool)
+    qhi, qlo = mkeys(qpos, qvalid)
+    qorder = jnp.arange(n, dtype=jnp.uint32)
+    _, _, qx, qy, qz, qidx = jax.lax.sort(
+        (qhi, qlo, qpos[:, 0], qpos[:, 1], qpos[:, 2], qorder),
+        num_keys=2, is_stable=False)
+
     padq = (-n) % query_tile
     padc = (-pos.shape[0]) % chunk
-    qs = jnp.pad(qpos, ((0, padq), (0, 0))).reshape(-1, query_tile, 3)
-    cpos = jnp.pad(pos, ((0, padc), (0, 0))).reshape(-1, chunk, 3)
-    cval = jnp.pad(valid, (0, padc)).reshape(-1, chunk)
-    c2 = jnp.sum(cpos * cpos, axis=2)
-    # contiguous per-axis chunk rows: the (Q, T) broadcast differences in
-    # the moments pass would otherwise read stride-3 slices of cpos in
-    # the fusion's inner loop (measured ~13x slower)
-    csplit = tuple(cpos[:, :, a] + jnp.zeros((), dtype) for a in range(3))
-    big = jnp.asarray(jnp.inf, dtype)
+    qsx = jnp.pad(qx, (0, padq), mode="edge").reshape(-1, query_tile)
+    qsy = jnp.pad(qy, (0, padq), mode="edge").reshape(-1, query_tile)
+    qsz = jnp.pad(qz, (0, padq), mode="edge").reshape(-1, query_tile)
+    cx = jnp.pad(tx, (0, padc))
+    cy = jnp.pad(ty, (0, padc))
+    cz = jnp.pad(tz, (0, padc))
+    cv = jnp.pad(tv, (0, padc))
+    nblocks = cx.shape[0] // chunk
 
-    def one_tile(qt):
+    # per-block AABBs over VALID rows (invalid rows sorted to the tail)
+    def block_minmax(c):
+        cb = c.reshape(nblocks, chunk)
+        vb = cv.reshape(nblocks, chunk) > 0.5
+        return (jnp.min(jnp.where(vb, cb, big), axis=1),
+                jnp.max(jnp.where(vb, cb, -big), axis=1))
+
+    bmin = jnp.stack([block_minmax(c)[0] for c in (cx, cy, cz)], axis=1)
+    bmax = jnp.stack([block_minmax(c)[1] for c in (cx, cy, cz)], axis=1)
+
+    pairs = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+
+    def one_tile(args):
+        tqx, tqy, tqz = args
+        qt = jnp.stack([tqx, tqy, tqz], axis=1)
         q2 = jnp.sum(qt * qt, axis=1, keepdims=True)
-        qc = tuple(qt[:, a][:, None] for a in range(3))
+        qc = (tqx[:, None], tqy[:, None], tqz[:, None])
 
-        def dist_block(cp, cv, cc2):
-            d2 = q2 + cc2[None, :] - 2.0 * (qt @ cp.T)
-            return jnp.where(cv[None, :], d2, big)
+        # lower bound of d² between the tile's AABB and each block's
+        tmin = jnp.min(qt, axis=0)
+        tmax = jnp.max(qt, axis=0)
+        gap = jnp.maximum(jnp.maximum(bmin - tmax[None, :],
+                                      tmin[None, :] - bmax), 0.0)
+        lb = jnp.sum(gap * gap, axis=1)
+        # inf - inf in the gap of an all-invalid block -> NaN: make it inf
+        lb = jnp.where(jnp.isnan(lb), big, lb)
+        slb, sperm = jax.lax.sort((lb, jnp.arange(nblocks, dtype=jnp.int32)),
+                                  num_keys=1, is_stable=False)
 
-        def scan_top(run_d, args):
-            cp, cv, cc2 = args
-            d2 = dist_block(cp, cv, cc2)
+        def load(j):
+            start = sperm[j] * chunk
+            bx = jax.lax.dynamic_slice_in_dim(cx, start, chunk)
+            by = jax.lax.dynamic_slice_in_dim(cy, start, chunk)
+            bz = jax.lax.dynamic_slice_in_dim(cz, start, chunk)
+            bv = jax.lax.dynamic_slice_in_dim(cv, start, chunk) > 0.5
+            d2 = (q2 + (bx * bx + by * by + bz * bz)[None, :]
+                  - 2.0 * (qt @ jnp.stack([bx, by, bz], axis=0)))
+            return jnp.where(bv[None, :], d2, big), (bx, by, bz)
+
+        # ---- pass 1: certified top-k ------------------------------------
+        def cond1(state):
+            j, run_d = state
+            worst = jnp.max(run_d[:, -1])
+            return (j < nblocks) & (slb[j] <= worst)
+
+        def body1(state):
+            j, run_d = state
+            d2, _ = load(j)
             merged = -jax.lax.top_k(
                 -jnp.concatenate([run_d, d2], axis=1), k)[0]
-            return merged, None
+            return j + 1, merged
 
         run0 = jnp.full((query_tile, k), big, dtype)
-        run_d, _ = jax.lax.scan(scan_top, run0, (cpos, cval, c2))
+        visited, run_d = jax.lax.while_loop(
+            cond1, body1, (jnp.asarray(0, jnp.int32), run0))
         thr = run_d[:, -1]
+        thr_max = jnp.max(thr)
 
-        pairs = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+        # ---- pass 2: moments over the same certified prefix -------------
+        def cond2(state):
+            j = state[0]
+            return (j < nblocks) & (slb[j] <= thr_max)
 
-        def scan_moments(acc, args):
-            cnt, s, m6 = acc
-            cp, cv, cc2, c0, c1, c2_ = args
-            # selection uses the SAME d2 expression as pass 1, so the
-            # radius test is bit-consistent with the top-k threshold
-            d2 = dist_block(cp, cv, cc2)
-            # finiteness guard: with < k valid targets thr is inf and
-            # inf <= inf would pull zero-padded rows into the moments
+        def body2(state):
+            j, cnt, s, m6 = state
+            d2, (bx, by, bz) = load(j)
+            # selection reuses the pass-1 d² expression, so the radius
+            # test is bit-consistent with the top-k threshold; the
+            # finiteness guard keeps inf <= inf (under-full queries) from
+            # pulling padding into the moments
             w = ((d2 <= thr[:, None]) & jnp.isfinite(d2)).astype(dtype)
             cnt = cnt + jnp.sum(w, axis=1)
-            # query-frame differences (Q, T) per axis: bounded by the
-            # k-NN radius -> centred moments never cancel
-            dp = [c0[None, :] - qc[0], c1[None, :] - qc[1],
-                  c2_[None, :] - qc[2]]
+            dp = [bx[None, :] - qc[0], by[None, :] - qc[1],
+                  bz[None, :] - qc[2]]
             s = s + jnp.stack(
                 [jnp.sum(w * dp[a], axis=1) for a in range(3)], axis=1)
             m6 = m6 + jnp.stack(
                 [jnp.sum(w * dp[a] * dp[b], axis=1) for a, b in pairs],
                 axis=1)
-            return (cnt, s, m6), None
+            return j, cnt, s, m6
 
-        acc0 = (jnp.zeros((query_tile,), dtype),
+        def body2_step(state):
+            j, cnt, s, m6 = body2(state)
+            return j + 1, cnt, s, m6
+
+        acc0 = (jnp.asarray(0, jnp.int32),
+                jnp.zeros((query_tile,), dtype),
                 jnp.zeros((query_tile, 3), dtype),
                 jnp.zeros((query_tile, 6), dtype))
-        (cnt, s, m6), _ = jax.lax.scan(
-            scan_moments, acc0, (cpos, cval, c2) + csplit)
+        _, cnt, s, m6 = jax.lax.while_loop(cond2, body2_step, acc0)
         cnt = jnp.maximum(cnt, 1.0)
         mean = s / cnt[:, None]                      # query-frame mean
         mm = m6 / cnt[:, None]
@@ -220,8 +295,14 @@ def _normals_scan_exact(pos: jnp.ndarray, valid: jnp.ndarray, k: int,
         curvature = jnp.where(tr != 0.0, jnp.abs(lam0 / tr), 0.0)
         return normal, curvature
 
-    normal, curvature = jax.lax.map(one_tile, qs)
-    return normal.reshape(-1, 3)[:n], curvature.reshape(-1)[:n]
+    normal, curvature = jax.lax.map(one_tile, (qsx, qsy, qsz))
+    normal = normal.reshape(-1, 3)[:n]
+    curvature = curvature.reshape(-1)[:n]
+    # back to input order: sort by the carried original query index
+    _, nx, ny, nz, cvv = jax.lax.sort(
+        (qidx, normal[:, 0], normal[:, 1], normal[:, 2], curvature),
+        num_keys=1, is_stable=False)
+    return jnp.stack([nx, ny, nz], axis=1), cvv
 
 
 def window_fit(sp: jnp.ndarray, pp: jnp.ndarray, k: int, w: int):

@@ -11,6 +11,7 @@ voxel downsampling via the two-stage merge).
 from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
+from functools import partial
 from pathlib import Path
 from typing import Iterator, Optional, Union
 
@@ -24,6 +25,50 @@ from ..math.aabb import AABB
 from .base import open_reader
 
 __all__ = ["stream_batches", "streaming_bounds", "streaming_voxel_downsample"]
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _vox_jit(leaf_size: float, semantics: str, grid_bits: int, vk_key):
+    """Jitted per-chunk voxelize, cached by static config so repeated
+    streaming runs reuse compiled programs (a fresh lambda per call would
+    recompile everything every run)."""
+    import jax
+
+    from ..ops.voxel import voxel_downsample
+    # 'policies' is the only dict-valued kwarg; it was frozen for hashing
+    vk = {k: (dict(v) if k == "policies" and v is not None else v)
+          for k, v in vk_key}
+    return jax.jit(lambda b, g: voxel_downsample(
+        b, leaf_size, bounds=(g, None), semantics=semantics,
+        grid_bits=grid_bits, with_aux=True, **vk))
+
+
+@lru_cache(maxsize=16)
+def _merge_trim_jit(policies_key):
+    """Jitted merge+trim of two partial voxelizations, cached like
+    :func:`_vox_jit`.  Slicing to ``cap`` rows loses nothing while cap >=
+    the voxel count (valid voxels form a prefix; rows beyond carry the
+    invalid key / zero counts)."""
+    import jax
+
+    from ..ops.voxel_merge import merge_voxel_batches
+    policies = dict(policies_key) if policies_key else None
+
+    @partial(jax.jit, static_argnames=("cap",))
+    def merge_trim(acc, part, cap):
+        b, a = merge_voxel_batches([acc, part], policies=policies)
+        data = {n: c[:cap] for n, c in b.data.items()}
+        aa = {"keys": tuple(k[:cap] for k in a["keys"]),
+              "counts": a["counts"][:cap],
+              "mode_counts": {n: c[:cap]
+                              for n, c in a["mode_counts"].items()},
+              "raw_means": {n: c[:cap]
+                            for n, c in a["raw_means"].items()}}
+        return (PointBatch(data, b.count, b.schema, b.meta), aa)
+
+    return merge_trim
 
 
 def stream_batches(path: Union[str, Path], chunk_points: int = 1 << 20,
@@ -90,6 +135,9 @@ def streaming_voxel_downsample(path: Union[str, Path], leaf_size: float,
                                grid_bits: int = 20,
                                semantics: str = "floor",
                                with_aux: bool = False,
+                               bounds: Optional[AABB] = None,
+                               use_metadata_bounds: bool = False,
+                               schema: Optional[PointSchema] = None,
                                **voxel_kwargs) -> PointBatch:
     """Voxel-downsample a file larger than device memory — EXACTLY.
 
@@ -118,47 +166,67 @@ def streaming_voxel_downsample(path: Union[str, Path], leaf_size: float,
 
     ``with_aux``: also return the accumulated merge statistics (the
     ``(batch, aux)`` form), letting callers fold further partials in.
+
+    ``bounds`` / ``use_metadata_bounds``: the grid origin needs the cloud
+    minimum, which by default costs a dedicated streaming pass over the
+    file.  Pass an :class:`~pasture_tpu.math.AABB` (or set
+    ``use_metadata_bounds`` to trust the file header's bounds, which the
+    LAS spec requires to be exact) to skip that pass — the single-pass
+    shape production pipelines want.
     """
     import jax.numpy as jnp
 
     from ..ops.voxel import voxel_downsample
     from ..ops.voxel_merge import merge_voxel_batches
 
-    bounds = streaming_bounds(path, chunk_points)
+    if bounds is None and use_metadata_bounds:
+        reader = open_reader(path)
+        try:
+            bounds = reader.get_metadata().bounds()
+        finally:
+            close = getattr(reader, "close", None)
+            if close:
+                close()
+    if bounds is None:
+        bounds = streaming_bounds(path, chunk_points)
     if bounds is None:
         raise ValueError("empty input")
     gmin = jnp.asarray(bounds.min, jnp.float32)
 
-    def trim(part, aux, cap):
-        """Slice accumulator columns to ``cap`` rows (valid voxels form a
-        prefix; rows beyond carry the invalid key / zero counts)."""
-        data = {n: c[:cap] for n, c in part.data.items()}
-        a = {"keys": tuple(k[:cap] for k in aux["keys"]),
-             "counts": aux["counts"][:cap],
-             "mode_counts": {n: c[:cap]
-                             for n, c in aux["mode_counts"].items()},
-             "raw_means": {n: c[:cap]
-                           for n, c in aux.get("raw_means", {}).items()}}
-        return PointBatch(data, part.count, part.schema, part.meta), a
+    # every per-chunk step is ONE jitted dispatch (on a remote/tunneled
+    # accelerator, eager op-by-op execution pays an RPC per primitive and
+    # dominates the pipeline), and the jitted callables are CACHED at
+    # module level so repeated streaming runs reuse compiled programs
+    def freeze(v):
+        return tuple(sorted(v.items())) if isinstance(v, dict) else v
+
+    vk_key = tuple(sorted((k, freeze(v)) for k, v in voxel_kwargs.items()))
+    vox_fn = _vox_jit(float(leaf_size), semantics, grid_bits, vk_key)
+    policies = voxel_kwargs.get("policies")
+    merge_trim_fn = _merge_trim_jit(freeze(policies) if policies else None)
 
     acc = None
-    for batch in stream_batches(path, chunk_points):
-        part, aux = voxel_downsample(batch, leaf_size, bounds=(gmin, None),
-                                     semantics=semantics,
-                                     grid_bits=grid_bits, with_aux=True,
-                                     **voxel_kwargs)
+    acc_cap = chunk_points
+    seen = 0                 # host-known upper bound on accumulated voxels
+    for batch in stream_batches(path, chunk_points, schema=schema):
+        part = vox_fn(batch, gmin)
+        seen += chunk_points
         if acc is None:
-            acc = (part, aux)
+            acc = part
             continue
-        merged = merge_voxel_batches([acc, (part, aux)],
-                                     policies=voxel_kwargs.get("policies"))
-        # geometric capacity schedule: O(log) distinct program shapes
-        nv = int(merged[0].count)
-        cap = merged[0].data[next(iter(merged[0].data))].shape[0]
-        want = chunk_points
-        while want < nv:
-            want <<= 1
-        acc = trim(*merged, min(want, cap))
+        # geometric capacity schedule, O(log) shapes AND O(log) count
+        # fetches: grow only when the host-side points-seen bound says
+        # the current capacity might overflow, and then size by the TRUE
+        # voxel count (one scalar fetch)
+        if seen > acc_cap:
+            nv = int(acc[0].count)
+            want = chunk_points
+            while want < nv + chunk_points:
+                want <<= 1
+            # never beyond the merged length (slicing can't pad)
+            acc_cap = min(want, acc_cap + chunk_points)
+            seen = nv + chunk_points
+        acc = merge_trim_fn(acc, part, acc_cap)
     if acc is None:
         raise ValueError("empty input")
     if with_aux:

@@ -97,7 +97,9 @@ def _make_kernel(n_streams: int, num_keys: int, rows_per_tile: int):
                 # index (bit clear) in an ascending run, or the higher in
                 # a descending one
                 want_min = (~bit) == ascending
-                take = jnp.where(want_min, p_less, p_greater)
+                # boolean select via logic ops: jnp.where on i1 vectors
+                # trips Mosaic's bitwidth truncation
+                take = (want_min & p_less) | (~want_min & p_greater)
                 vals = [jnp.where(take, p, v)
                         for p, v in zip(pvals, vals)]
                 j //= 2

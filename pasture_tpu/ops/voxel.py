@@ -104,9 +104,14 @@ _INVALID_KEY = _np.uint32(0xFFFFFFFF)
 # real accelerator only — interpret mode is too slow for production use)
 _FORCE_FUSED_REDUCE = None
 
-# same for the Pallas blockwise bitonic tile sort (kernels/tile_sort_kernel):
-# replaces lax.sort for the tiled hot path when the operands are 32-bit and
-# the tile length is a supported power of two
+# Pallas blockwise bitonic tile sort (kernels/tile_sort_kernel): replaces
+# lax.sort for the tiled hot path when the operands are 32-bit and the tile
+# length is a supported power of two.  OFF by default (None = off): the
+# VMEM-resident 45-substage network measured 2.7x SLOWER than XLA's sort
+# for the headline shape (632 vs 1142 Mpts/s end-to-end on v5e, round 4) —
+# XLA's sort network is compute-bound, not HBM-bound, and already
+# well-tuned for batched row sorts; see benches/sort_ablation.py and
+# README "sort kernel ablation".  True forces it on (A/B probes, tests).
 _FORCE_PALLAS_TILE_SORT = None
 
 
@@ -409,9 +414,7 @@ def voxel_downsample(batch: PointBatch, leaf_size,
         from .kernels.tile_sort_kernel import (supports_tile_sort,
                                                tile_sort_pallas)
         tlen = cap // sort_tiles
-        use_pallas = (_FORCE_PALLAS_TILE_SORT
-                      if _FORCE_PALLAS_TILE_SORT is not None
-                      else jax.default_backend() != "cpu")
+        use_pallas = bool(_FORCE_PALLAS_TILE_SORT)
         if (use_pallas and supports_tile_sort(cap, tlen, len(operands))
                 and all(jnp.dtype(o.dtype).itemsize == 4 for o in operands)
                 and all(jnp.issubdtype(o.dtype, jnp.integer)
