@@ -275,6 +275,9 @@ def write_ntv2(path: Union[str, Path],
 
 def write_gtx(path: Union[str, Path], lat0: float, lon0: float,
               dlat: float, dlon: float, values: np.ndarray) -> None:
+    """Write a big-endian ``.gtx`` geoid grid (origin ``lat0``/``lon0``
+    in degrees, steps ``dlat``/``dlon``, row-major ``values`` in metres)
+    — the format :func:`load_gtx` and +geoidgrids consume."""
     nrow, ncol = values.shape
     with open(path, "wb") as f:
         f.write(struct.pack(">dddd", lat0, lon0, dlat, dlon))

@@ -109,6 +109,10 @@ ransac_plane_par = ransac_plane_serial
 def ransac_line_serial(buffer, distance_threshold: float,
                        num_of_iterations: int, seed: int = 0
                        ) -> Tuple[Line, np.ndarray]:
+    """RANSAC line fit: returns the best :class:`Line` and its inlier
+    indices after ``num_of_iterations`` two-point hypotheses (reference
+    ``line_ransac_serial``, segmentation.rs; distances vectorised over
+    the whole cloud per hypothesis)."""
     pos = _positions(buffer)
     n = len(pos)
     if n < 2:
@@ -126,6 +130,9 @@ def ransac_line_serial(buffer, distance_threshold: float,
     return best
 
 
+#: Parallel-hypothesis alias of :func:`ransac_line_serial` (the
+#: reference's rayon variant, las_ransac.rs; the numpy implementation is
+#: already vectorised over hypotheses, so both names share one function).
 ransac_line_par = ransac_line_serial
 
 
@@ -216,6 +223,9 @@ def ransac_plane_device(batch: PointBatch, distance_threshold: float,
 def ransac_line_device(batch: PointBatch, distance_threshold: float,
                        num_of_iterations: int, seed: int = 0
                        ) -> Tuple[Line, np.ndarray]:
+    """Device RANSAC line fit: every hypothesis is scored in one vmapped
+    batch on chip and the winner selected by argmax — the TPU replacement
+    for the reference's rayon fan-out (segmentation.rs:180-197)."""
     pos = batch.data[att.POSITION_3D.name]
     key = jax.random.PRNGKey(seed)
     samples, count, inlier_mask = jax.jit(

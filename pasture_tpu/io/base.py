@@ -148,6 +148,8 @@ def open_reader(path: Union[str, Path]) -> PointReader:
 
 
 def open_writer(path: Union[str, Path], schema: PointSchema, **kw) -> PointWriter:
+    """Create a :class:`PointWriter` for ``path`` via the default
+    extension registry (reference IOFactory, base/io_factory.rs)."""
     return DEFAULT_FACTORY.make_writer(path, schema, **kw)
 
 
@@ -160,7 +162,31 @@ def point_count(path: Union[str, Path]) -> Optional[int]:
 
 def read_all(path: Union[str, Path],
              schema: Optional[PointSchema] = None) -> HostPointBuffer:
-    """Open + read every point (reference base/mod.rs:28-45)."""
+    """Open + read every point (reference base/mod.rs:28-45).
+
+    Example — round-trip a buffer through a LAS file:
+
+    >>> import numpy as np, tempfile, os
+    >>> from pasture_tpu.buffers.host import HostPointBuffer
+    >>> from pasture_tpu.io import read_all, write_all
+    >>> from pasture_tpu.layout import attributes as att
+    >>> from pasture_tpu.layout.schema import PointSchema
+    >>> schema = PointSchema.from_attributes([att.POSITION_3D,
+    ...                                       att.INTENSITY])
+    >>> buf = HostPointBuffer.from_columns(schema, {
+    ...     att.POSITION_3D.name: np.asarray([[1.0, 2.0, 3.0],
+    ...                                       [4.0, 5.0, 6.0]]),
+    ...     att.INTENSITY.name: np.asarray([10, 20], np.uint16)})
+    >>> path = os.path.join(tempfile.mkdtemp(), "two.las")
+    >>> write_all(buf, path)
+    >>> back = read_all(path)
+    >>> len(back)
+    2
+    >>> back.get_converted(att.POSITION_3D).tolist()
+    [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]]
+    >>> back.get(att.INTENSITY.name).tolist()
+    [10, 20]
+    """
     with open_reader(path) as r:
         return r.read_all(schema)
 
@@ -187,6 +213,8 @@ read_all_appended = read_all_into
 
 
 def write_all(buffer: HostPointBuffer, path: Union[str, Path], **kw) -> None:
-    """Open + write + flush (reference base/mod.rs:63-79)."""
+    """Open + write + flush (reference base/mod.rs:63-79); the format is
+    chosen by extension (``.las``/``.laz``/``.pnts``/``.txt``...).  See
+    :func:`read_all` for a round-trip example."""
     with open_writer(path, buffer.schema, **kw) as w:
         w.write(buffer)

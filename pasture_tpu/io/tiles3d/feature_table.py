@@ -62,11 +62,17 @@ def read_batch_table_header(buf: bytes, offset: int, length: int
 
 def write_batch_table_header(header: Dict[str, FeatureTableValue],
                              align: int = 8, start_offset: int = 0) -> bytes:
+    """Serialise a 3D-Tiles batch-table JSON header (same wire format
+    as the feature table; reference tiles3d/mod.rs)."""
     return write_feature_table_header(header, align, start_offset)
 
 
 def read_feature_table_header(buf: bytes, offset: int, length: int
                               ) -> Dict[str, FeatureTableValue]:
+    """Parse a 3D-Tiles feature-table JSON header: scalar/array values
+    pass through, ``{"byteOffset": ...}`` objects become
+    :class:`FeatureTableDataReference` (reference
+    tiles3d/feature_table.rs)."""
     header = read_json_header(buf, offset, length)
     out: Dict[str, FeatureTableValue] = {}
     for key, value in header.items():
@@ -80,6 +86,9 @@ def read_feature_table_header(buf: bytes, offset: int, length: int
 
 def write_feature_table_header(header: Dict[str, FeatureTableValue],
                                align: int = 8, start_offset: int = 0) -> bytes:
+    """Serialise a 3D-Tiles feature-table JSON header, space-padded to
+    ``align`` bytes relative to ``start_offset`` (the pnts body alignment
+    rule; reference tiles3d/feature_table.rs)."""
     obj: Dict[str, Any] = {}
     for key, value in header.items():
         if isinstance(value, FeatureTableDataReference):

@@ -200,10 +200,14 @@ class TilesetBuilder:
 
 
 def read_tileset(path: Union[str, Path]) -> Tileset:
+    """Load a ``tileset.json`` into a :class:`Tileset` (reference
+    tiles3d/tileset.rs)."""
     with open(path) as f:
         return Tileset.from_json(json.load(f))
 
 
 def write_tileset(tileset: Tileset, path: Union[str, Path]) -> None:
+    """Write a :class:`Tileset` as ``tileset.json`` (reference
+    tiles3d/tileset.rs)."""
     with open(path, "w") as f:
         json.dump(tileset.to_json(), f)

@@ -143,6 +143,9 @@ _BY_NAME = {d.name: d for d in ALL_NAMED_DTYPES}
 
 
 def dtype_from_name(name: str) -> PointDtype:
+    """Look up a :class:`PointDtype` by its pasture name (``"U8"``,
+    ``"Vec3f64"``, ...; reference PointAttributeDataType FromStr,
+    layout/point_attribute.rs)."""
     try:
         return _BY_NAME[name]
     except KeyError:

@@ -51,7 +51,10 @@ class SchemaMember:
         return (self.offset, self.offset + self.size)
 
 
-FieldAlignment = Union[str, int]  # "default" | packed alignment N
+#: Alignment request for a schema field: ``"default"`` (the dtype's
+#: natural repr(C) alignment) or an explicit byte alignment ``N``
+#: (packed layouts; reference FieldAlignment, layout/point_layout.rs).
+FieldAlignment = Union[str, int]
 
 
 class PointSchema:

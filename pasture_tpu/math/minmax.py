@@ -23,6 +23,8 @@ def infimum(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def supremum(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Componentwise maximum (the reference's ``Supremum`` trait for
+    position vectors, math/minmax.rs)."""
     if np.issubdtype(np.asarray(a).dtype, np.floating):
         return np.fmax(a, b)
     return np.maximum(a, b)

@@ -62,6 +62,8 @@ def pack_int_columns(cols: Sequence[jnp.ndarray]):
 
 
 def unpack_int_columns(cols: Sequence[jnp.ndarray], plan_info) -> List:
+    """Inverse of :func:`pack_int_columns`: recover the original narrow
+    integer columns (sign-extended) from the shared u32 words."""
     plan, n_pass = plan_info
     out = []
     for entry in plan:

@@ -49,6 +49,9 @@ def masked_min(x: jnp.ndarray, mask: jnp.ndarray, axis=0) -> jnp.ndarray:
 
 
 def masked_max(x: jnp.ndarray, mask: jnp.ndarray, axis=0) -> jnp.ndarray:
+    """Max over ``axis`` ignoring masked-out rows and NaNs (the
+    NaN-skipping float semantics of the reference's minmax,
+    algorithms/minmax.rs)."""
     filled = _apply_mask(x, mask, _identity(x.dtype, False))
     if jnp.issubdtype(x.dtype, jnp.floating):
         filled = jnp.where(jnp.isnan(filled), -jnp.inf, filled)
@@ -73,18 +76,23 @@ def batch_bounds(positions: jnp.ndarray, mask: jnp.ndarray
 
 def segment_sum(x: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int,
                 indices_are_sorted: bool = True) -> jnp.ndarray:
+    """Per-segment sum (thin jax.ops wrapper; prefer the sorted-segment
+    jump scans of :mod:`pasture_tpu.ops.segscan` in hot paths — XLA
+    lowers scatter-based segment reductions to element loops on TPU)."""
     return jax.ops.segment_sum(x, segment_ids, num_segments,
                                indices_are_sorted=indices_are_sorted)
 
 
 def segment_min(x: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int,
                 indices_are_sorted: bool = True) -> jnp.ndarray:
+    """Per-segment min (see :func:`segment_sum` for the TPU caveat)."""
     return jax.ops.segment_min(x, segment_ids, num_segments,
                                indices_are_sorted=indices_are_sorted)
 
 
 def segment_max(x: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int,
                 indices_are_sorted: bool = True) -> jnp.ndarray:
+    """Per-segment max (see :func:`segment_sum` for the TPU caveat)."""
     return jax.ops.segment_max(x, segment_ids, num_segments,
                                indices_are_sorted=indices_are_sorted)
 

@@ -101,6 +101,9 @@ def seg_totals_sum(vals, first: jnp.ndarray):
 
 
 def seg_totals_max(vals: jnp.ndarray, first: jnp.ndarray) -> jnp.ndarray:
+    """Per-segment max over contiguous segments marked by ``first``
+    flags, landed on each segment's first row (reverse jump-scan ladder;
+    see module doc for why not scatter-based segment_max)."""
     neutral = (-jnp.inf if jnp.issubdtype(vals.dtype, jnp.floating)
                else jnp.iinfo(vals.dtype).min)
 

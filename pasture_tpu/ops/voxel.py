@@ -247,6 +247,26 @@ def voxel_downsample(batch: PointBatch, leaf_size,
     <= kernels.exact_local_max_leaf(scale, semantics), and the batch need
     not carry a position column.
 
+    Example — four corner points collapse to two 1m voxels, centroids =
+    per-voxel means (reference ``voxelgrid_filter``, voxel_grid.rs:109-165):
+
+    >>> import numpy as np, jax.numpy as jnp
+    >>> from pasture_tpu.buffers.device import PointBatch
+    >>> from pasture_tpu.layout import attributes as att
+    >>> from pasture_tpu.layout.schema import PointSchema
+    >>> from pasture_tpu.ops import voxel_downsample
+    >>> schema = PointSchema.from_attributes([att.POSITION_3D])
+    >>> pos = jnp.asarray([[0.2, 0.2, 0.2], [0.4, 0.4, 0.4],
+    ...                    [5.1, 5.1, 5.1], [5.3, 5.3, 5.3]])
+    >>> batch = PointBatch({att.POSITION_3D.name: pos},
+    ...                    jnp.asarray(4), schema, {})
+    >>> out = voxel_downsample(batch, 1.0, semantics="floor",
+    ...                        bounds=(jnp.zeros(3), None))
+    >>> int(out.count)
+    2
+    >>> np.asarray(out.data[att.POSITION_3D.name][:2]).round(2).tolist()
+    [[0.3, 0.3, 0.3], [5.2, 5.2, 5.2]]
+
     ``with_aux``: also return the per-voxel merge statistics that make the
     two-stage (chunked/streaming/sharded) voxelization EXACTLY equal the
     one-shot global result — the return value becomes ``(batch, aux)``

@@ -60,6 +60,29 @@ def merge_voxel_batches(parts: Sequence[Tuple[PointBatch, Dict]],
     Voxels are identified purely by the carried cell keys — nothing is
     re-quantized, so a partial centroid sitting on a cell boundary can
     never migrate to a neighbouring cell.
+
+    Example — a voxel split across two chunks merges back to the exact
+    global mean (0.2 and 0.4 in the same 1m cell -> 0.3):
+
+    >>> import numpy as np, jax.numpy as jnp
+    >>> from pasture_tpu.buffers.device import PointBatch
+    >>> from pasture_tpu.layout import attributes as att
+    >>> from pasture_tpu.layout.schema import PointSchema
+    >>> from pasture_tpu.ops import merge_voxel_batches, voxel_downsample
+    >>> schema = PointSchema.from_attributes([att.POSITION_3D])
+    >>> def chunk(rows):
+    ...     pos = jnp.asarray(rows)
+    ...     b = PointBatch({att.POSITION_3D.name: pos},
+    ...                    jnp.asarray(len(rows)), schema, {})
+    ...     return voxel_downsample(b, 1.0, semantics="floor",
+    ...                             bounds=(jnp.zeros(3), None),
+    ...                             with_aux=True)
+    >>> merged, aux = merge_voxel_batches(
+    ...     [chunk([[0.2, 0.2, 0.2]]), chunk([[0.4, 0.4, 0.4]])])
+    >>> int(merged.count), int(aux["counts"][0])
+    (1, 2)
+    >>> np.asarray(merged.data[att.POSITION_3D.name][0]).round(2).tolist()
+    [0.3, 0.3, 0.3]
     """
     if not parts:
         raise ValueError("merge_voxel_batches needs at least one partial")

@@ -86,6 +86,29 @@ def morton_partition(batch: PointBatch, mesh: Mesh,
     prefix's first/last rows are the block's key-extremal boundary rows —
     required by consumers of :func:`~pasture_tpu.parallel.halo
     .halo_exchange` (boundary slabs are only meaningful on sorted blocks).
+
+    Example — 512 points over a 4-device mesh, nothing dropped, every
+    point accounted for:
+
+    >>> import numpy as np
+    >>> from pasture_tpu.buffers.device import PointBatch
+    >>> from pasture_tpu.buffers.host import HostPointBuffer
+    >>> from pasture_tpu.layout import attributes as att
+    >>> from pasture_tpu.layout.dtypes import DevicePolicy
+    >>> from pasture_tpu.layout.schema import PointSchema
+    >>> from pasture_tpu.parallel import (make_mesh, morton_partition,
+    ...                                   shard_batch)
+    >>> rng = np.random.default_rng(0)
+    >>> schema = PointSchema.from_attributes([att.POSITION_3D])
+    >>> host = HostPointBuffer.from_columns(schema, {
+    ...     att.POSITION_3D.name: rng.uniform(0, 8, (512, 3))})
+    >>> mesh = make_mesh(4)
+    >>> batch = shard_batch(PointBatch.from_host(
+    ...     host, policy=DevicePolicy.NARROW, capacity=512), mesh)
+    >>> part, counts, dropped = morton_partition(batch, mesh,
+    ...                                          capacity_factor=4.0)
+    >>> int(np.asarray(counts).sum()), int(np.asarray(dropped).sum())
+    (512, 0)
     """
     n_shards = mesh.shape[axis]
     per = batch.capacity // n_shards
