@@ -90,12 +90,30 @@ def main_exact(n: int = 1 << 20) -> None:
     an /= np.linalg.norm(an, axis=1, keepdims=True)
     dot = np.abs(np.sum(normals * an, axis=1))
     frac = float((dot > np.cos(np.deg2rad(6.0))).mean())
+    # HARD oracle: exact k-NN covariance normals from a host kd-tree on a
+    # subsample — the device result must agree to ~1 degree or the bench
+    # FAILS.  (Round 4 lesson: the TPU MXU's default bf16 matmul inputs
+    # silently destroyed d² at survey coordinates; CPU tests can't see
+    # backend-specific numerics, this check can.)
+    from scipy.spatial import cKDTree
+    sub = np.arange(0, n, max(n // 4096, 1))
+    pos = np.stack([xy[:, 0], xy[:, 1], z], axis=1)
+    _, idx = cKDTree(pos).query(pos[sub], k=K, workers=-1)
+    neigh = pos[idx].astype(np.float64)
+    c = neigh - neigh.mean(axis=1, keepdims=True)
+    w_, v = np.linalg.eigh(np.einsum("nki,nkj->nij", c, c) / K)
+    ref = v[:, :, 0]
+    odot = np.abs(np.sum(normals[sub] * ref, axis=1))
+    oracle_1deg = float((odot > np.cos(np.deg2rad(1.0))).mean())
+    assert oracle_1deg > 0.99, f"device normals diverge from the host " \
+        f"kd-tree oracle: {oracle_1deg:.4f} within 1 degree"
     print(json.dumps({
         "metric": "normals_exact_1m",
         "value": round(n / best / 1e6, 2),
         "unit": "Mpoints/s/chip",
         "seconds": round(best, 2),
         "n": n, "k": K, "frac_within_6deg": round(frac, 4),
+        "oracle_within_1deg": round(oracle_1deg, 4),
     }))
 
 

@@ -45,7 +45,12 @@ def _knn_tile(query: jnp.ndarray, points: jnp.ndarray, valid: jnp.ndarray,
     matrix via matmul + top_k."""
     q2 = jnp.sum(query * query, axis=1, keepdims=True)
     p2 = jnp.sum(points * points, axis=1)[None, :]
-    d2 = q2 + p2 - 2.0 * (query @ points.T)
+    # precision=HIGHEST: the TPU MXU rounds matmul INPUTS to bf16 by
+    # default — at survey coordinates (~1e4) that injects ~coord^2/256
+    # error into d2, larger than the k-NN distances themselves (caught
+    # by the round-4 kd-tree oracle; accumulation is f32 either way)
+    d2 = q2 + p2 - 2.0 * jnp.matmul(query, points.T,
+                                    precision=jax.lax.Precision.HIGHEST)
     d2 = jnp.where(valid[None, :], d2, jnp.inf)
     _, idx = jax.lax.top_k(-d2, k)
     return idx
@@ -83,8 +88,9 @@ def _eigh3_smallest(cov: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     lam1 = tr - lam0 - lam2
 
     # eigenvector of lam0: columns of (A - lam1 I)(A - lam2 I)
-    m = (a - lam1[..., None, None] * jnp.eye(3, dtype=a.dtype)) @ \
-        (a - lam2[..., None, None] * jnp.eye(3, dtype=a.dtype))
+    m = jnp.matmul(a - lam1[..., None, None] * jnp.eye(3, dtype=a.dtype),
+                   a - lam2[..., None, None] * jnp.eye(3, dtype=a.dtype),
+                   precision=jax.lax.Precision.HIGHEST)
     norms = jnp.linalg.norm(m, axis=-2)
     best = jnp.argmax(norms, axis=-1)
     vec = jnp.take_along_axis(
@@ -102,7 +108,8 @@ def _normals_device(pos: jnp.ndarray, valid: jnp.ndarray, k: int,
     neigh = pos[idx]                                  # (N, k, 3)
     mean = jnp.mean(neigh, axis=1, keepdims=True)
     centered = neigh - mean
-    cov = jnp.einsum("nki,nkj->nij", centered, centered) / k
+    cov = jnp.einsum("nki,nkj->nij", centered, centered,
+                     precision=jax.lax.Precision.HIGHEST) / k
     lam0, normal = _eigh3_smallest(cov)
     tr = jnp.trace(cov, axis1=-2, axis2=-1)
     curvature = jnp.where(tr != 0.0, jnp.abs(lam0 / tr), 0.0)
@@ -227,8 +234,12 @@ def _normals_scan_exact(pos: jnp.ndarray, valid: jnp.ndarray, k: int,
             by = jax.lax.dynamic_slice_in_dim(cy, start, chunk)
             bz = jax.lax.dynamic_slice_in_dim(cz, start, chunk)
             bv = jax.lax.dynamic_slice_in_dim(cv, start, chunk) > 0.5
+            # precision=HIGHEST: see _knn_tile — bf16 matmul inputs
+            # would swamp d2 at survey coordinates
             d2 = (q2 + (bx * bx + by * by + bz * bz)[None, :]
-                  - 2.0 * (qt @ jnp.stack([bx, by, bz], axis=0)))
+                  - 2.0 * jnp.matmul(
+                      qt, jnp.stack([bx, by, bz], axis=0),
+                      precision=jax.lax.Precision.HIGHEST))
             return jnp.where(bv[None, :], d2, big), (bx, by, bz)
 
         # ---- pass 1: certified top-k ------------------------------------

@@ -169,7 +169,9 @@ def _ransac_device(pos: jnp.ndarray, mask: jnp.ndarray, k: int,
             dcoef = -jnp.sum(normal * chunk[:, 0], axis=1)
             nrm = jnp.linalg.norm(normal, axis=1, keepdims=True)
             # distances: |P @ n^T + d| / |n| — an MXU matmul per chunk
-            dist = jnp.abs(pos @ normal.T + dcoef[None, :]) / \
+            dist = jnp.abs(jnp.matmul(
+                pos, normal.T,
+                precision=jax.lax.Precision.HIGHEST) + dcoef[None, :]) / \
                 jnp.maximum(nrm.T, 1e-30)
         else:
             dvec = chunk[:, 1] - chunk[:, 0]

@@ -32,6 +32,21 @@ __all__ = ["distributed_icp", "distributed_icp_partitioned",
            "distributed_pose_graph"]
 
 
+
+
+def _highest_precision(fn):
+    """Registration math must not round matmul inputs to bf16 (TPU MXU
+    default) — see registration/icp.py."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        with jax.default_matmul_precision("highest"):
+            return fn(*a, **k)
+    return wrapped
+
+
+@_highest_precision
 def distributed_icp(source: jnp.ndarray, target: jnp.ndarray, mesh: Mesh,
                     source_count: Optional[jnp.ndarray] = None,
                     axis: str = POINTS_AXIS,
@@ -70,8 +85,10 @@ def distributed_icp(source: jnp.ndarray, target: jnp.ndarray, mesh: Mesh,
             r = moved - target[nn_idx]
             eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (per, 3, 3))
             j = jnp.concatenate([eye, -skew(moved)], axis=2)
-            h = jnp.einsum("nai,naj,n->ij", j, j, w)
-            b = jnp.einsum("nai,na,n->i", j, r, w)
+            h = jnp.einsum("nai,naj,n->ij", j, j, w,
+                           precision=jax.lax.Precision.HIGHEST)
+            b = jnp.einsum("nai,na,n->i", j, r, w,
+                           precision=jax.lax.Precision.HIGHEST)
             # THE collective: reduce curvature + gradient over the mesh
             h = jax.lax.psum(h, axis)
             b = jax.lax.psum(b, axis)
@@ -97,6 +114,7 @@ def distributed_icp(source: jnp.ndarray, target: jnp.ndarray, mesh: Mesh,
     return IcpResult(rot, t, rmse, nin.astype(jnp.int32), iterations)
 
 
+@_highest_precision
 def distributed_icp_partitioned(
         source: PointBatch, target: PointBatch, mesh: Mesh,
         axis: str = POINTS_AXIS,
@@ -212,17 +230,21 @@ def distributed_icp_partitioned(
                 j = jnp.concatenate([nrm, jnp.cross(moved, nrm)],
                                     axis=1)                       # (N, 6)
                 h = jnp.einsum("ni,nj,n->ij", j, jnp.where(
-                    w[:, None] > 0, j, 0.0), w)
-                b = jnp.einsum("ni,n,n->i", j, rr, w)
+                    w[:, None] > 0, j, 0.0), w,
+                    precision=jax.lax.Precision.HIGHEST)
+                b = jnp.einsum("ni,n,n->i", j, rr, w,
+                               precision=jax.lax.Precision.HIGHEST)
             else:
                 r = moved - matched
                 eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype),
                                        (src.shape[0], 3, 3))
                 j = jnp.concatenate([eye, -skew(moved)], axis=2)
                 h = jnp.einsum("nai,naj,n->ij", j, jnp.where(
-                    w[:, None, None] > 0, j, 0.0), w)
+                    w[:, None, None] > 0, j, 0.0), w,
+                    precision=jax.lax.Precision.HIGHEST)
                 b = jnp.einsum("nai,na,n->i", j, jnp.where(
-                    w[:, None] > 0, r, 0.0), w)
+                    w[:, None] > 0, r, 0.0), w,
+                    precision=jax.lax.Precision.HIGHEST)
             h = jax.lax.psum(h, axis)
             b = jax.lax.psum(b, axis)
             nin = jax.lax.psum(jnp.sum(w), axis)
@@ -251,6 +273,7 @@ def distributed_icp_partitioned(
                      iterations), dropped
 
 
+@_highest_precision
 def distributed_pose_graph(graph: PoseGraph, mesh: Mesh,
                            axis: str = POINTS_AXIS,
                            iterations: int = 10,

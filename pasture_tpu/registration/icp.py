@@ -53,7 +53,10 @@ def nearest_neighbors(query: jnp.ndarray, points: jnp.ndarray,
 
     def one_tile(qt):
         q2 = jnp.sum(qt * qt, axis=1, keepdims=True)
-        d2 = q2 + p2 - 2.0 * (qt @ points.T)
+        # precision=HIGHEST: bf16 matmul inputs would swamp d2 at
+        # survey coordinates (see normals._knn_tile)
+        d2 = q2 + p2 - 2.0 * jnp.matmul(qt, points.T,
+                                        precision=jax.lax.Precision.HIGHEST)
         d2 = jnp.where(points_valid[None, :], d2, big)
         idx = jnp.argmin(d2, axis=1)
         return idx.astype(jnp.int32), jnp.take_along_axis(
@@ -176,16 +179,20 @@ def _icp_step(source, source_valid, corr_fn,
         r = jnp.sum((moved - matched) * nrm, axis=1)           # (N,)
         # J_i = [n_i^T, (p_i x n_i)^T] for twist [rho, phi]
         j = jnp.concatenate([nrm, jnp.cross(moved, nrm)], axis=1)  # (N, 6)
-        h = jnp.einsum("ni,nj,n->ij", j, j, w)
-        b = jnp.einsum("ni,n,n->i", j, r, w)
+        h = jnp.einsum("ni,nj,n->ij", j, j, w,
+                       precision=jax.lax.Precision.HIGHEST)
+        b = jnp.einsum("ni,n,n->i", j, r, w,
+                       precision=jax.lax.Precision.HIGHEST)
     else:
         r = moved - matched                                     # (N, 3)
         # J_i = [I, -[p]_x] per residual row
         eye = jnp.broadcast_to(jnp.eye(3, dtype=source.dtype),
                                (moved.shape[0], 3, 3))
         j = jnp.concatenate([eye, -skew(moved)], axis=2)        # (N, 3, 6)
-        h = jnp.einsum("nai,naj,n->ij", j, j, w)
-        b = jnp.einsum("nai,na,n->i", j, r, w)
+        h = jnp.einsum("nai,naj,n->ij", j, j, w,
+                       precision=jax.lax.Precision.HIGHEST)
+        b = jnp.einsum("nai,na,n->i", j, r, w,
+                       precision=jax.lax.Precision.HIGHEST)
 
     xi = -_solve_gn(h, b, damping)
     d_rot, d_t = se3_exp(xi)
@@ -246,6 +253,21 @@ def icp(source: jnp.ndarray, target: jnp.ndarray,
         target_valid = jnp.ones(target.shape[0], bool)
     if correspondence not in ("exact", "morton"):
         raise ValueError(f"unknown correspondence {correspondence!r}")
+    # registration math must not round matmul inputs to bf16 (the TPU
+    # MXU default): rotation products and normal equations are
+    # precision-critical and tiny, so HIGHEST costs nothing
+    with jax.default_matmul_precision("highest"):
+        return _icp_impl(source, target, source_valid, target_valid,
+                         init_rotation, init_translation,
+                         max_correspondence_distance, iterations,
+                         point_to_plane, target_normals, tile, damping,
+                         correspondence, window, dtype)
+
+
+def _icp_impl(source, target, source_valid, target_valid, init_rotation,
+              init_translation, max_correspondence_distance, iterations,
+              point_to_plane, target_normals, tile, damping,
+              correspondence, window, dtype):
     rot0 = jnp.eye(3, dtype=dtype) if init_rotation is None \
         else init_rotation.astype(dtype)
     t0 = jnp.zeros(3, dtype) if init_translation is None \

@@ -270,6 +270,14 @@ def optimize_pose_graph(graph: PoseGraph, iterations: int = 10,
     per-iteration total squared residual)."""
     if solver not in ("dense", "cg"):
         raise ValueError(f"unknown solver {solver!r}")
+    # see icp(): registration matmuls must not round inputs to bf16
+    with jax.default_matmul_precision("highest"):
+        return _optimize_impl(graph, iterations, damping, anchor_weight,
+                              solver, cg_iterations, cg_tol)
+
+
+def _optimize_impl(graph, iterations, damping, anchor_weight, solver,
+                   cg_iterations, cg_tol):
     n = graph.num_poses
     dtype = graph.translations.dtype
     weights = (graph.weights if graph.weights is not None
