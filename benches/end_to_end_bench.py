@@ -81,6 +81,33 @@ def make_file(path: Path, n: int) -> None:
           file=sys.stderr, flush=True)
 
 
+def host_read_row(path: Path, n: int, chunk: int, label: str) -> None:
+    """Host-only converting read of the same file/schema — attributes the
+    end-to-end wall between host parsing and the device side (on a
+    TUNNELED dev chip the host->device upload at ~25-40 MB/s dominates;
+    production hosts feed chips over PCIe at GB/s)."""
+    from pasture_tpu.io import open_reader
+    from pasture_tpu.layout import attributes as att
+    from pasture_tpu.layout.schema import PointSchema
+
+    schema = PointSchema.from_attributes(
+        [att.POSITION_3D, att.INTENSITY, att.CLASSIFICATION])
+    t0 = time.perf_counter()
+    seen = 0
+    with open_reader(path) as r:
+        while True:
+            buf = r.read(chunk, schema=schema)
+            if not len(buf):
+                break
+            seen += len(buf)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": f"e2e_{label}_host_read_only",
+        "value": round(seen / dt / 1e6, 2),
+        "unit": "Mpoints/s", "seconds": round(dt, 2), "points": seen,
+    }), flush=True)
+
+
 def run_row(path: Path, n: int, leaf: float, chunk: int, label: str,
             repeats: int = 2) -> None:
     from pasture_tpu.io.streaming import streaming_voxel_downsample
@@ -132,8 +159,10 @@ def main() -> None:
         print(f"# wrote {laz.name} in {time.perf_counter()-t0:.0f}s",
               file=sys.stderr, flush=True)
 
+    host_read_row(las, args.points, args.chunk, "las")
     run_row(las, args.points, args.leaf, args.chunk, "las")
     if not args.skip_laz:
+        host_read_row(laz, args.points, args.chunk, "laz")
         run_row(laz, args.points, args.leaf, args.chunk, "laz")
 
 

@@ -130,6 +130,11 @@ class LasReader(PointReader, SeekToPoint):
         else:
             rec = self._records[start:stop]
 
+        if schema != self._exact_schema and n >= 16384:
+            out = self._read_fused(rec, n, schema)
+            if out is not None:
+                return out
+
         columns, owned = self._extract_columns(rec, n)
         if schema == self._exact_schema:
             cols = {k: np.ascontiguousarray(v) for k, v in columns.items()}
@@ -142,6 +147,108 @@ class LasReader(PointReader, SeekToPoint):
             self._converters[schema] = conv
         out_cols = conv.convert(columns, assume_owned=owned)
         return HostPointBuffer(schema, out_cols, validate=False)
+
+    # ---- fused native converting read -----------------------------------------
+    _BASIC_FLAG_NAMES = ("ReturnNumber", "NumberOfReturns",
+                         "ScanDirectionFlag", "EdgeOfFlightLine")
+    _EXT_FLAG_NAMES = ("ReturnNumber", "NumberOfReturns",
+                       "ClassificationFlags", "ScannerChannel",
+                       "ScanDirectionFlag", "EdgeOfFlightLine")
+
+    def _fused_plan(self, schema):
+        """Per-member routing for the ONE-pass native converting read
+        (laz_las_convert): position decode + flag fan-out + pass-through
+        copies together, the record bytes hot in cache exactly once.
+        Returns None when the schema needs transforms the fused pass
+        doesn't cover (the SchemaConverter path remains the oracle)."""
+        from ...layout import attributes as att
+        wire = self._exact_schema
+        wire_members = {m.name: m for m in wire.members}
+        basic = wire_members.get("LASBasicFlags")
+        ext = wire_members.get("LASExtendedFlags")
+        flag_names = (self._EXT_FLAG_NAMES if ext is not None
+                      else self._BASIC_FLAG_NAMES)
+        flags_offset = (ext.offset if ext is not None
+                        else (basic.offset if basic is not None else None))
+        flags_mode = 2 if ext is not None else (1 if basic is not None
+                                                else 0)
+        pos_wire = wire_members.get("LASLocalPosition")
+
+        plan = {"pos_target": None, "pos_f32": False,
+                "flags_offset": flags_offset, "flags_mode": flags_mode,
+                "want_flags": [False] * len(flag_names),
+                "flag_targets": [None] * len(flag_names),
+                "fields": [], "field_targets": [], "zero": []}
+        for m in schema.members:
+            if m.name == att.POSITION_3D.name:
+                if pos_wire is None or m.dtype.name not in ("Vec3f64",
+                                                            "Vec3f32"):
+                    return None
+                plan["pos_target"] = m
+                plan["pos_f32"] = m.dtype.name == "Vec3f32"
+                continue
+            if flags_mode and m.name in flag_names:
+                i = flag_names.index(m.name)
+                if np.dtype(m.dtype.np_component_dtype) != np.uint8 \
+                        or m.dtype.np_shape != ():
+                    return None
+                plan["want_flags"][i] = True
+                plan["flag_targets"][i] = m
+                continue
+            w = wire_members.get(m.name)
+            if w is None:
+                plan["zero"].append(m)
+                continue
+            if w.dtype.name != m.dtype.name:
+                return None   # dtype conversion: fall back to converter
+            plan["fields"].append((w.offset, m.dtype.np_component_dtype,
+                                   w.size))
+            plan["field_targets"].append(m)
+        return plan
+
+    def _read_fused(self, rec, n: int, schema):
+        try:
+            from ...native.laszip import _native, las_convert_fused
+            if _native() is None:
+                return None
+        except Exception:
+            return None
+        plan = self._fused_plans.get(schema) if hasattr(
+            self, "_fused_plans") else None
+        if plan is None:
+            if not hasattr(self, "_fused_plans"):
+                self._fused_plans = {}
+            if schema in self._fused_plans:   # cached "not applicable"
+                return None
+            plan = self._fused_plan(schema)
+            self._fused_plans[schema] = plan
+            if plan is None:
+                return None
+        pos_wire_offset = None
+        if plan["pos_target"] is not None:
+            pos_wire_offset = next(
+                m.offset for m in self._exact_schema.members
+                if m.name == "LASLocalPosition")
+        pos, flags, fields = las_convert_fused(
+            np.ascontiguousarray(rec) if not rec.flags.c_contiguous else rec,
+            n, self._exact_schema.point_size, pos_wire_offset,
+            self.header.scale_np, self.header.offset_np,
+            plan["flags_offset"], plan["flags_mode"],
+            len(plan["want_flags"]), plan["want_flags"], plan["fields"])
+        cols = {}
+        if plan["pos_target"] is not None:
+            cols[plan["pos_target"].name] = (
+                pos.astype(np.float32) if plan["pos_f32"] else pos)
+        for m, arr in zip(plan["flag_targets"], flags):
+            if m is not None:
+                cols[m.name] = arr
+        for m, arr in zip(plan["field_targets"], fields):
+            shape = m.dtype.np_shape
+            cols[m.name] = arr if shape == () else arr.reshape((n,) + shape)
+        for m in plan["zero"]:
+            cols[m.name] = np.zeros((n,) + m.dtype.np_shape,
+                                    m.dtype.np_component_dtype)
+        return HostPointBuffer(schema, cols, validate=False)
 
     def _extract_columns(self, rec: np.ndarray, n: int) -> Dict[str, np.ndarray]:
         """Record -> contiguous columns.  numpy's strided field access

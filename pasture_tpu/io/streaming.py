@@ -77,35 +77,39 @@ def stream_batches(path: Union[str, Path], chunk_points: int = 1 << 20,
                    read_ahead: bool = True) -> Iterator[PointBatch]:
     """Yield fixed-capacity device batches of ``chunk_points`` each.
 
-    With ``read_ahead`` the next chunk is parsed on a host thread while the
-    caller computes on the current one (the async-ingest pattern replacing
-    the reference's sequential reader loop).  Every batch has capacity
-    ``chunk_points``; the last one is padded (check ``batch.count``).
+    With ``read_ahead`` the next chunk is parsed AND uploaded to the
+    device on a host thread while the caller computes on the current one
+    (the async-ingest pattern replacing the reference's sequential reader
+    loop; keeping the host->device transfer in the worker matters most on
+    tethered/tunneled accelerators, where the upload is the slowest
+    stage).  Every batch has capacity ``chunk_points``; the last one is
+    padded (check ``batch.count``).
     """
     reader = open_reader(path)
 
     def read_chunk():
         buf = reader.read(chunk_points, schema=schema)
-        return buf if len(buf) else None
+        if not len(buf):
+            return None
+        return PointBatch.from_host(buf, policy=policy,
+                                    capacity=chunk_points)
 
     try:
         if not read_ahead:
             while True:
-                host = read_chunk()
-                if host is None:
+                batch = read_chunk()
+                if batch is None:
                     return
-                yield PointBatch.from_host(host, policy=policy,
-                                           capacity=chunk_points)
+                yield batch
         else:
             with ThreadPoolExecutor(max_workers=1) as ex:
                 future = ex.submit(read_chunk)
                 while True:
-                    host = future.result()
-                    if host is None:
+                    batch = future.result()
+                    if batch is None:
                         return
                     future = ex.submit(read_chunk)
-                    yield PointBatch.from_host(host, policy=policy,
-                                               capacity=chunk_points)
+                    yield batch
     finally:
         close = getattr(reader, "close", None)
         if close:

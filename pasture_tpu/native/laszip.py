@@ -156,6 +156,14 @@ def _native(required: bool = False):
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ctypes.c_int]
     lib.laz_decode_positions.restype = None
+    lib.laz_las_convert.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.c_uint32, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_void_p), ctypes.c_int]
+    lib.laz_las_convert.restype = None
     _lib = lib
     return lib
 
@@ -341,3 +349,64 @@ class LazCompressor:
         absolute = self._start_pos + rel
         self.stream.write(struct.pack("<q", absolute))
         self.stream.write(blob[8:])
+
+def las_convert_fused(records, n: int, record_size: int, pos_offset,
+                      scale, offset, flags_offset, flags_mode: int,
+                      n_flag_outs: int, want_flags, fields,
+                      num_threads: int = 0):
+    """ONE native pass over wire records: f64 position decode, flag
+    bitfield fan-out AND pass-through column extraction together (the
+    fused converting read; replaces deinterleave + decode_positions_f64
+    + the numpy flag lambdas).
+
+    ``pos_offset`` None skips positions; ``flags_mode`` 0/1/2 = none/
+    basic u8/extended u16 with ``want_flags`` a bool list of length
+    ``n_flag_outs`` choosing which unpacked columns to emit; ``fields``
+    as in :func:`deinterleave_records`.  Returns ``(pos (n,3) f64 or
+    None, [flag u8 arrays or None], [field arrays])``."""
+    import numpy as np
+
+    lib = _native(required=True)
+    pos_out = None
+    pp = ctypes.POINTER(ctypes.c_double)()
+    sc = (ctypes.c_double * 3)()
+    of = (ctypes.c_double * 3)()
+    if pos_offset is not None:
+        pos_out = np.empty((n, 3), np.float64)
+        pp = ctypes.cast(pos_out.ctypes.data_as(ctypes.c_void_p),
+                         ctypes.POINTER(ctypes.c_double))
+        for i in range(3):
+            sc[i] = float(scale[i])
+            of[i] = float(offset[i])
+    flag_arrays = []
+    fptrs = (ctypes.c_void_p * max(n_flag_outs, 1))()
+    for i in range(n_flag_outs):
+        if want_flags[i]:
+            arr = np.empty(n, np.uint8)
+            flag_arrays.append(arr)
+            fptrs[i] = arr.ctypes.data_as(ctypes.c_void_p)
+        else:
+            flag_arrays.append(None)
+            fptrs[i] = None
+    nf = len(fields)
+    offs = (ctypes.c_uint32 * max(nf, 1))(*[int(f[0]) for f in fields])
+    sizes = (ctypes.c_uint32 * max(nf, 1))(*[int(f[2]) for f in fields])
+    outs = []
+    optrs = (ctypes.c_void_p * max(nf, 1))()
+    for i, (_, dt, sz) in enumerate(fields):
+        dt = np.dtype(dt)
+        assert sz % dt.itemsize == 0
+        arr = np.empty(n * (sz // dt.itemsize), dt)
+        outs.append(arr)
+        optrs[i] = arr.ctypes.data_as(ctypes.c_void_p)
+    if hasattr(records, "ctypes"):
+        src = ctypes.cast(records.ctypes.data_as(ctypes.c_void_p),
+                          ctypes.c_char_p)
+    else:
+        src = bytes(records)
+    lib.laz_las_convert(
+        src, n, record_size,
+        0 if pos_offset is None else int(pos_offset), sc, of, pp,
+        0 if flags_offset is None else int(flags_offset), flags_mode,
+        fptrs, offs, sizes, nf, optrs, num_threads)
+    return pos_out, flag_arrays, outs

@@ -3100,4 +3100,129 @@ int laz_chunk_sizes(const uint8_t* file, uint64_t file_len,
   return int(number_chunks);
 }
 
+
+// Fused converting read: ONE pass over the wire records that emits the
+// f64 world positions (i32*scale+offset, raw_readers.rs:39-50), the
+// unpacked flag columns (basic u8 / extended u16 bitfields,
+// raw_readers.rs:59-118) and every pass-through column.  Replaces the
+// deinterleave pass + the separate position-decode pass + the numpy
+// flag fan-out of the converting-read path: the record bytes are hot in
+// cache exactly once.  Parallel over row blocks like laz_deinterleave.
+void laz_las_convert(const uint8_t* records, uint64_t n,
+                     uint32_t record_size, uint32_t pos_offset,
+                     const double* scale, const double* offset,
+                     double* pos_out, uint32_t flags_offset,
+                     int flags_mode, uint8_t* const* flag_outs,
+                     const uint32_t* f_offs, const uint32_t* f_sizes,
+                     uint32_t n_fields, uint8_t* const* f_outs,
+                     int nthreads) {
+  const uint64_t block = 4096;
+  double sx = scale ? scale[0] : 0, sy = scale ? scale[1] : 0,
+         sz = scale ? scale[2] : 0;
+  double ox = offset ? offset[0] : 0, oy = offset ? offset[1] : 0,
+         oz = offset ? offset[2] : 0;
+  auto do_range = [&](uint64_t lo, uint64_t hi) {
+    // local copies: stores through the (char-aliasing) output pointers
+    // must not force reloads of the scale factors each iteration
+    const double lsx = sx, lsy = sy, lsz = sz;
+    const double lox = ox, loy = oy, loz = oz;
+    const uint32_t rs = record_size;
+    for (uint64_t b0 = lo; b0 < hi; b0 += block) {
+      uint64_t b1 = std::min(b0 + block, hi);
+      if (pos_out) {
+        const uint8_t* __restrict src = records + b0 * rs + pos_offset;
+        double* __restrict q = pos_out + b0 * 3;
+        for (uint64_t i = b0; i < b1; i++, src += rs) {
+          int32_t x, y, z;
+          std::memcpy(&x, src, 4);
+          std::memcpy(&y, src + 4, 4);
+          std::memcpy(&z, src + 8, 4);
+          q[0] = (double)x * lsx + lox;
+          q[1] = (double)y * lsy + loy;
+          q[2] = (double)z * lsz + loz;
+          q += 3;
+        }
+      }
+      if (flags_mode == 1) {  // basic u8: rn 0-2, nr 3-5, dir 6, edge 7
+        const uint8_t* src = records + b0 * record_size + flags_offset;
+        uint8_t* o0 = flag_outs[0] ? flag_outs[0] + b0 : nullptr;
+        uint8_t* o1 = flag_outs[1] ? flag_outs[1] + b0 : nullptr;
+        uint8_t* o2 = flag_outs[2] ? flag_outs[2] + b0 : nullptr;
+        uint8_t* o3 = flag_outs[3] ? flag_outs[3] + b0 : nullptr;
+        for (uint64_t i = b0; i < b1; i++, src += record_size) {
+          uint8_t f = *src;
+          if (o0) *o0++ = f & 0x7;
+          if (o1) *o1++ = (f >> 3) & 0x7;
+          if (o2) *o2++ = (f >> 6) & 0x1;
+          if (o3) *o3++ = (f >> 7) & 0x1;
+        }
+      } else if (flags_mode == 2) {  // extended u16
+        const uint8_t* src = records + b0 * record_size + flags_offset;
+        uint8_t* o0 = flag_outs[0] ? flag_outs[0] + b0 : nullptr;
+        uint8_t* o1 = flag_outs[1] ? flag_outs[1] + b0 : nullptr;
+        uint8_t* o2 = flag_outs[2] ? flag_outs[2] + b0 : nullptr;
+        uint8_t* o3 = flag_outs[3] ? flag_outs[3] + b0 : nullptr;
+        uint8_t* o4 = flag_outs[4] ? flag_outs[4] + b0 : nullptr;
+        uint8_t* o5 = flag_outs[5] ? flag_outs[5] + b0 : nullptr;
+        for (uint64_t i = b0; i < b1; i++, src += record_size) {
+          uint16_t f;
+          std::memcpy(&f, src, 2);
+          if (o0) *o0++ = f & 0xF;          // ReturnNumber
+          if (o1) *o1++ = (f >> 4) & 0xF;   // NumberOfReturns
+          if (o2) *o2++ = (f >> 8) & 0xF;   // ClassificationFlags
+          if (o3) *o3++ = (f >> 12) & 0x3;  // ScannerChannel
+          if (o4) *o4++ = (f >> 14) & 0x1;  // ScanDirectionFlag
+          if (o5) *o5++ = (f >> 15) & 0x1;  // EdgeOfFlightLine
+        }
+      }
+      for (uint32_t f = 0; f < n_fields; f++) {
+        const uint8_t* src = records + b0 * record_size + f_offs[f];
+        uint32_t szf = f_sizes[f];
+        uint8_t* dst = f_outs[f] + b0 * szf;
+        switch (szf) {
+          case 1:
+            for (uint64_t i = b0; i < b1; i++, src += record_size)
+              *dst++ = *src;
+            break;
+          case 2:
+            for (uint64_t i = b0; i < b1; i++, src += record_size) {
+              uint16_t v; std::memcpy(&v, src, 2);
+              std::memcpy(dst, &v, 2); dst += 2;
+            }
+            break;
+          case 4:
+            for (uint64_t i = b0; i < b1; i++, src += record_size) {
+              uint32_t v; std::memcpy(&v, src, 4);
+              std::memcpy(dst, &v, 4); dst += 4;
+            }
+            break;
+          case 8:
+            for (uint64_t i = b0; i < b1; i++, src += record_size) {
+              uint64_t v; std::memcpy(&v, src, 8);
+              std::memcpy(dst, &v, 8); dst += 8;
+            }
+            break;
+          default:
+            for (uint64_t i = b0; i < b1; i++, src += record_size) {
+              std::memcpy(dst, src, szf); dst += szf;
+            }
+        }
+      }
+    }
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  uint64_t nt = std::min<uint64_t>(
+      nthreads > 0 ? (uint64_t)nthreads : (hw ? hw : 1),
+      std::max<uint64_t>(n / (4 * block), 1));
+  if (nt <= 1) { do_range(0, n); return; }
+  std::vector<std::thread> pool;
+  uint64_t per = ((n + nt - 1) / nt + block - 1) / block * block;
+  for (uint64_t t = 0; t < nt; t++) {
+    uint64_t lo = t * per, hi = std::min(lo + per, n);
+    if (lo >= hi) break;
+    pool.emplace_back(do_range, lo, hi);
+  }
+  for (auto& th : pool) th.join();
+}
+
 }  // extern "C"

@@ -387,3 +387,82 @@ def test_native_deinterleave_matches_numpy_extraction(rng):
     assert set(ref) == set(got)
     for k in ref:
         np.testing.assert_array_equal(ref[k], got[k], err_msg=k)
+
+
+def test_fused_converting_read_matches_converter(tmp_path, rng):
+    """The ONE-pass native converting read (laz_las_convert: position
+    decode + flag fan-out + pass-through copies fused over the records)
+    must be bit-identical to the SchemaConverter path, for basic (fmt1)
+    and extended (fmt6) flags and for sub-schemas."""
+    import numpy as np
+
+    from pasture_tpu.buffers.host import HostPointBuffer
+    from pasture_tpu.io import open_reader
+    from pasture_tpu.io.las.header import LasHeader, LasPointFormat
+    from pasture_tpu.io.las.writer import LasWriter
+    from pasture_tpu.layout import attributes as att
+    from pasture_tpu.layout.schema import PointSchema
+
+    n = 20000   # above the 16384 fused threshold; 8k chunks stay below
+    common = {
+        att.POSITION_3D.name: np.round(rng.uniform(0, 100, (n, 3)), 3),
+        att.INTENSITY.name: rng.integers(0, 65536, n).astype(np.uint16),
+        att.RETURN_NUMBER.name: rng.integers(0, 8, n).astype(np.uint8),
+        att.NUMBER_OF_RETURNS.name: rng.integers(0, 8, n).astype(np.uint8),
+        att.GPS_TIME.name: rng.uniform(0, 1e6, n),
+    }
+    cases = [
+        (LasHeader(version=(1, 2), point_format=LasPointFormat(1),
+                   point_record_length=28),
+         dict(common, **{
+             att.CLASSIFICATION.name:
+                 rng.integers(0, 32, n).astype(np.uint8),
+             att.SCAN_DIRECTION_FLAG.name:
+                 rng.integers(0, 2, n).astype(np.uint8),
+             att.EDGE_OF_FLIGHT_LINE.name:
+                 rng.integers(0, 2, n).astype(np.uint8)})),
+        (LasHeader(version=(1, 4), point_format=LasPointFormat(6),
+                   point_record_length=30),
+         dict(common, **{
+             att.CLASSIFICATION.name:
+                 rng.integers(0, 250, n).astype(np.uint8),
+             att.SCANNER_CHANNEL.name:
+                 rng.integers(0, 4, n).astype(np.uint8),
+             att.CLASSIFICATION_FLAGS.name:
+                 rng.integers(0, 16, n).astype(np.uint8)})),
+    ]
+    for i, (header, cols) in enumerate(cases):
+        schema = PointSchema.from_attributes(
+            [a for a in (att.POSITION_3D, att.INTENSITY,
+                         att.CLASSIFICATION, att.RETURN_NUMBER,
+                         att.NUMBER_OF_RETURNS, att.SCAN_DIRECTION_FLAG,
+                         att.EDGE_OF_FLIGHT_LINE, att.SCANNER_CHANNEL,
+                         att.CLASSIFICATION_FLAGS, att.GPS_TIME)
+             if a.name in cols])
+        buf = HostPointBuffer.from_columns(schema, cols)
+        path = tmp_path / f"fused_{i}.las"
+        with LasWriter(path, schema, header=header) as w:
+            w.write(buf)
+
+        with open_reader(path) as r:
+            fused = r.read(n)
+            assert getattr(r, "_fused_plans", None), "fused path not taken"
+        with open_reader(path) as r:
+            parts = [r.read(8000) for _ in range(3)]
+        for m in fused.schema.members:
+            np.testing.assert_array_equal(
+                fused.get(m.name),
+                np.concatenate([p.get(m.name) for p in parts]),
+                err_msg=f"case {i} {m.name}")
+
+        # sub-schema (position f64 + intensity only)
+        slim = PointSchema.from_attributes([att.POSITION_3D, att.INTENSITY])
+        with open_reader(path) as r:
+            f2 = r.read(n, schema=slim)
+        with open_reader(path) as r:
+            p2 = [r.read(8000, schema=slim) for _ in range(3)]
+        for m in f2.schema.members:
+            np.testing.assert_array_equal(
+                f2.get(m.name),
+                np.concatenate([p.get(m.name) for p in p2]),
+                err_msg=f"case {i} slim {m.name}")
