@@ -50,6 +50,15 @@ def main():
     print("voxels per device:", np.asarray(vcounts),
           "total:", int(np.asarray(vox.count)))
 
+    # EXACT global merge (round 4): per-shard partials carry counts +
+    # unrounded means, and the weighted merge reproduces the one-shot
+    # single-device voxelization at value level
+    from pasture_tpu.parallel import sharded_voxel_downsample_merged
+    merged, aux = sharded_voxel_downsample_merged(
+        part, mesh, 1.0, per_shard_counts=counts)
+    print("globally merged voxels:", int(np.asarray(merged.count)),
+          "(points accounted:", int(np.asarray(aux["counts"]).sum()), ")")
+
     # scan-to-map ICP, replicated map: same cloud shifted
     target = jnp.asarray(pos, jnp.float32)
     source = target - jnp.asarray([0.4, -0.2, 0.1], jnp.float32)
