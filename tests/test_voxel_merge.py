@@ -170,3 +170,29 @@ def test_mode_envelope_documented(rng):
             if c < cnts[j]:
                 split[j] = True
     assert not np.any(dis & ~split)
+
+
+def test_merge_single_key_grid_and_sort_tiles(rng):
+    """grid_bits<=10 (single-u32 keys) + sort_tiles partials — the
+    end-to-end pipeline's shape: tiles that split voxels emit one row per
+    (tile, voxel) and the merge repairs them to the exact global result."""
+    pos, inten, cls, gps = _cloud(rng, n=4096)
+    n = len(pos)
+    bounds = (jnp.zeros(3, jnp.float32), None)
+    one = voxel_downsample(_mk(pos, inten, cls, gps, slice(0, n)), 0.5,
+                           bounds=bounds, semantics="floor", grid_bits=10)
+    parts = [voxel_downsample(_mk(pos, inten, cls, gps, slice(a, b)), 0.5,
+                              bounds=bounds, semantics="floor",
+                              grid_bits=10, sort_tiles=8, with_aux=True)
+             for a, b in ((0, 2048), (2048, n))]
+    assert len(parts[0][1]["keys"]) == 1        # single-u32 key aux
+    merged, aux = merge_voxel_batches(parts)
+    nv = int(one.count)
+    assert int(merged.count) == nv
+    np.testing.assert_allclose(
+        np.asarray(merged.data[att.POSITION_3D.name])[:nv],
+        np.asarray(one.data[att.POSITION_3D.name])[:nv], atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(merged.data[att.GPS_TIME.name])[:nv],
+        np.asarray(one.data[att.GPS_TIME.name])[:nv], rtol=1e-6)
+    assert int(np.asarray(aux["counts"]).sum()) == n
