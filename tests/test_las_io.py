@@ -466,3 +466,38 @@ def test_fused_converting_read_matches_converter(tmp_path, rng):
                 f2.get(m.name),
                 np.concatenate([p.get(m.name) for p in p2]),
                 err_msg=f"case {i} slim {m.name}")
+
+
+def test_fused_converting_read_laz(tmp_path, rng):
+    """The fused converting read also serves decompressed LAZ chunks
+    (records come from the codec's buffer instead of the mmap)."""
+    import numpy as np
+
+    from pasture_tpu.buffers.host import HostPointBuffer
+    from pasture_tpu.io import open_reader, write_all
+    from pasture_tpu.layout import attributes as att
+    from pasture_tpu.layout.schema import PointSchema
+
+    n = 20000
+    schema = PointSchema.from_attributes(
+        [att.POSITION_3D, att.INTENSITY, att.CLASSIFICATION])
+    cols = {att.POSITION_3D.name: np.round(rng.uniform(0, 50, (n, 3)), 3),
+            att.INTENSITY.name: rng.integers(0, 65536, n).astype(np.uint16),
+            att.CLASSIFICATION.name: rng.integers(0, 32, n).astype(np.uint8)}
+    buf = HostPointBuffer.from_columns(schema, cols)
+    path = tmp_path / "fused.laz"
+    write_all(buf, path)
+
+    with open_reader(path) as r:
+        fused = r.read(n)
+        assert getattr(r, "_fused_plans", None), "fused path not taken"
+    with open_reader(path) as r:
+        parts = [r.read(8000) for _ in range(3)]
+    for m in fused.schema.members:
+        np.testing.assert_array_equal(
+            fused.get(m.name),
+            np.concatenate([p.get(m.name) for p in parts]),
+            err_msg=m.name)
+    np.testing.assert_allclose(
+        fused.get_converted(att.POSITION_3D),
+        cols[att.POSITION_3D.name], atol=1e-3)

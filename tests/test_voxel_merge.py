@@ -196,3 +196,28 @@ def test_merge_single_key_grid_and_sort_tiles(rng):
         np.asarray(merged.data[att.GPS_TIME.name])[:nv],
         np.asarray(one.data[att.GPS_TIME.name])[:nv], rtol=1e-6)
     assert int(np.asarray(aux["counts"]).sum()) == n
+
+
+def test_merge_nearest_semantics(rng):
+    """'nearest' cells are half-open intervals too, so merging by carried
+    keys stays exact for the nearest-marker semantics
+    (voxel_grid.rs:22-51)."""
+    pos, inten, cls, gps = _cloud(rng, n=2048)
+    n = len(pos)
+    bounds = (jnp.zeros(3, jnp.float32), None)
+    one = voxel_downsample(_mk(pos, inten, cls, gps, slice(0, n)), 0.5,
+                           bounds=bounds, semantics="nearest")
+    parts = [voxel_downsample(_mk(pos, inten, cls, gps, slice(a, b)), 0.5,
+                              bounds=bounds, semantics="nearest",
+                              with_aux=True)
+             for a, b in ((0, 800), (800, n))]
+    merged, aux = merge_voxel_batches(parts)
+    nv = int(one.count)
+    assert int(merged.count) == nv
+    np.testing.assert_allclose(
+        np.asarray(merged.data[att.POSITION_3D.name])[:nv],
+        np.asarray(one.data[att.POSITION_3D.name])[:nv], atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(merged.data[att.GPS_TIME.name])[:nv],
+        np.asarray(one.data[att.GPS_TIME.name])[:nv], rtol=1e-6)
+    assert int(np.asarray(aux["counts"]).sum()) == n
