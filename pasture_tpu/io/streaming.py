@@ -177,6 +177,26 @@ def streaming_voxel_downsample(path: Union[str, Path], leaf_size: float,
     ``use_metadata_bounds`` to trust the file header's bounds, which the
     LAS spec requires to be exact) to skip that pass — the single-pass
     shape production pipelines want.
+
+    Example — chunked streaming equals one-shot voxelization:
+
+    >>> import numpy as np, os, tempfile
+    >>> from pasture_tpu.buffers.host import HostPointBuffer
+    >>> from pasture_tpu.io import write_all
+    >>> from pasture_tpu.io.streaming import streaming_voxel_downsample
+    >>> from pasture_tpu.layout import attributes as att
+    >>> from pasture_tpu.layout.schema import PointSchema
+    >>> rng = np.random.default_rng(0)
+    >>> buf = HostPointBuffer.from_columns(
+    ...     PointSchema.from_attributes([att.POSITION_3D]),
+    ...     {att.POSITION_3D.name:
+    ...          np.round(rng.uniform(0, 8, (4000, 3)), 3)})
+    >>> path = os.path.join(tempfile.mkdtemp(), "cloud.las")
+    >>> write_all(buf, path)
+    >>> out = streaming_voxel_downsample(path, 1.0, chunk_points=1024,
+    ...                                  use_metadata_bounds=True)
+    >>> int(out.count)                       # 8^3 cells, all occupied
+    512
     """
     import jax.numpy as jnp
 

@@ -21,6 +21,7 @@ _M = [importlib.import_module(n) for n in [
     "pasture_tpu.math.aabb",
     "pasture_tpu.math.morton",
     "pasture_tpu.io.base",
+    "pasture_tpu.io.streaming",
     "pasture_tpu.ops.voxel",
     "pasture_tpu.ops.voxel_merge",
     "pasture_tpu.algorithms.normals",
