@@ -126,34 +126,50 @@ class RegistrationPipeline:
 
     def _align(self, src: np.ndarray, tgt: np.ndarray):
         """One scan-to-keyframe alignment: single-device ICP, or the
-        partitioned distributed path when a mesh was supplied."""
+        partitioned distributed path when a mesh was supplied.
+
+        Device math runs on ANCHOR-RELATIVE coordinates (the f64 target
+        minimum subtracted on the host): at survey/UTM magnitudes f32
+        device clouds would quantize to ~0.1 m and the pairwise-distance
+        cancellation would swamp the correspondences.  Rigid alignment of
+        the anchored clouds recovers the same rotation; the true
+        translation is restored exactly as ``t = t' + A - R @ A``."""
+        anchor = np.asarray(tgt, np.float64).min(axis=0)
+        src_a = np.asarray(src, np.float64) - anchor[None, :]
+        tgt_a = np.asarray(tgt, np.float64) - anchor[None, :]
         if self.mesh is None:
-            return icp(jnp.asarray(src), jnp.asarray(tgt),
-                       max_correspondence_distance=self.max_corr,
-                       iterations=self.icp_iterations,
-                       point_to_plane=self.point_to_plane)
-        from .parallel.distributed import distributed_icp_partitioned
+            result = icp(jnp.asarray(src_a), jnp.asarray(tgt_a),
+                         max_correspondence_distance=self.max_corr,
+                         iterations=self.icp_iterations,
+                         point_to_plane=self.point_to_plane)
+        else:
+            from .parallel.distributed import distributed_icp_partitioned
 
-        def batch_of(p):
-            schema = PointSchema.from_attributes([att.POSITION_3D])
-            cap = max(-(-len(p) // 8) * 8, 8)
-            col = jnp.asarray(np.pad(np.asarray(p, np.float64),
-                                     [(0, cap - len(p)), (0, 0)]))
-            return PointBatch({att.POSITION_3D.name: col},
-                              jnp.asarray(len(p), jnp.int32), schema, {})
+            def batch_of(p):
+                schema = PointSchema.from_attributes([att.POSITION_3D])
+                cap = max(-(-len(p) // 8) * 8, 8)
+                col = jnp.asarray(np.pad(np.asarray(p, np.float64),
+                                         [(0, cap - len(p)), (0, 0)]))
+                return PointBatch({att.POSITION_3D.name: col},
+                                  jnp.asarray(len(p), jnp.int32), schema, {})
 
-        result, dropped = distributed_icp_partitioned(
-            batch_of(src), batch_of(tgt), self.mesh,
-            halo=self.distributed_halo,
-            capacity_factor=self.distributed_capacity_factor,
-            max_correspondence_distance=self.max_corr,
-            iterations=self.icp_iterations,
-            point_to_plane=self.point_to_plane)
-        if int(dropped) != 0:
-            raise RuntimeError(
-                f"distributed partitioning dropped {int(dropped)} points "
-                f"— raise capacity_factor / rebalance the partition")
-        return result
+            result, dropped = distributed_icp_partitioned(
+                batch_of(src_a), batch_of(tgt_a), self.mesh,
+                halo=self.distributed_halo,
+                capacity_factor=self.distributed_capacity_factor,
+                max_correspondence_distance=self.max_corr,
+                iterations=self.icp_iterations,
+                point_to_plane=self.point_to_plane)
+            if int(dropped) != 0:
+                raise RuntimeError(
+                    f"distributed partitioning dropped {int(dropped)} "
+                    f"points — raise capacity_factor / rebalance the "
+                    f"partition")
+        rot = np.asarray(result.rotation, np.float64)
+        t = (np.asarray(result.translation, np.float64)
+             + anchor - rot @ anchor)
+        return dataclasses.replace(
+            result, rotation=jnp.asarray(rot), translation=jnp.asarray(t))
 
     def add_scan(self, scan: Union[HostPointBuffer, np.ndarray]) -> None:
         pos = self._downsample(_positions(scan))

@@ -71,3 +71,34 @@ def test_pipeline_distributed_mode(rng):
     assert len(pipe.keyframes) == 3
     np.testing.assert_allclose(pipe.trajectory(), np.stack(true_t),
                                atol=0.03)
+
+
+def test_align_anchor_correction_with_rotation(rng):
+    """_align runs device ICP on anchor-relative clouds (survey-scale f32
+    safety) and must restore the TRUE world-frame pose exactly:
+    t = t_anchored + A - R @ A.  A rotated scan at UTM-magnitude
+    coordinates is the case where a wrong correction shows up as a huge
+    translation error."""
+    import numpy as np
+
+    from pasture_tpu.pipeline import RegistrationPipeline
+    from pasture_tpu.registration.se3 import transform_points
+    import jax.numpy as jnp
+
+    base = np.asarray([500000.0, 4000000.0, 300.0])
+    tgt = base + rng.uniform(0, 30, (2000, 3))
+    th = np.deg2rad(2.0)
+    rot = np.asarray([[np.cos(th), -np.sin(th), 0],
+                      [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+    centre = tgt.mean(axis=0)
+    # src = rotate tgt about its centre + small shift
+    src = (tgt - centre) @ rot.T + centre + np.asarray([0.05, -0.03, 0.02])
+    pipe = RegistrationPipeline(voxel_size=0.0, icp_iterations=15,
+                                max_correspondence_distance=1.0)
+    res = pipe._align(src, tgt)
+    R = np.asarray(res.rotation, np.float64)
+    t = np.asarray(res.translation, np.float64)
+    # the recovered WORLD pose must map src onto tgt
+    moved = src @ R.T + t
+    err = np.linalg.norm(moved - tgt, axis=1)
+    assert np.median(err) < 1e-3, np.median(err)
