@@ -60,12 +60,9 @@ def _merge_trim_jit(policies_key):
     def merge_trim(acc, part, cap):
         b, a = merge_voxel_batches([acc, part], policies=policies)
         data = {n: c[:cap] for n, c in b.data.items()}
-        aa = {"keys": tuple(k[:cap] for k in a["keys"]),
-              "counts": a["counts"][:cap],
-              "mode_counts": {n: c[:cap]
-                              for n, c in a["mode_counts"].items()},
-              "raw_means": {n: c[:cap]
-                            for n, c in a["raw_means"].items()}}
+        # aux is a pytree of per-voxel-row columns — trim generically so
+        # new statistics (e.g. the mode runner-up votes) flow through
+        aa = jax.tree.map(lambda c: c[:cap], a)
         return (PointBatch(data, b.count, b.schema, b.meta), aa)
 
     return merge_trim
@@ -153,9 +150,10 @@ def streaming_voxel_downsample(path: Union[str, Path], leaf_size: float,
     one-shot global voxelization: exactly for the mean/max policies
     (weighted mean of partial means / max of maxes; integer mean columns
     may differ by one unit of the final integer cast, both paths rounding
-    f32), and mode within the documented weighted-vote envelope
-    (ops/voxel_merge.py — exact unless the global mode value loses in
-    EVERY chunk it appears in).  Value-level equality is asserted in
+    f32), and mode within the documented top-2 weighted-vote envelope
+    (ops/voxel_merge.py — exact unless the global mode value ranks third
+    or lower in some chunk, losing votes to the carry; measured ~0.06%
+    worst case).  Value-level equality is asserted in
     tests/test_streaming.py.
 
     The hot loop never round-trips point data through the host: partial

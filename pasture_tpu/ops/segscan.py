@@ -31,7 +31,8 @@ from typing import List, Sequence, Tuple
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["seg_totals_sum", "seg_totals_max", "seg_totals_lexmax2"]
+__all__ = ["seg_totals_sum", "seg_totals_max", "seg_totals_lexmax2",
+           "seg_totals_top2_max", "seg_totals_top2_lexmax2"]
 
 
 def _dshift_up(x: jnp.ndarray, d: jnp.ndarray, fill) -> jnp.ndarray:
@@ -113,6 +114,63 @@ def seg_totals_max(vals: jnp.ndarray, first: jnp.ndarray) -> jnp.ndarray:
         return (jnp.maximum(c, jnp.where(ok, s, jnp.full_like(s, neutral))),)
 
     return _ladder_while(first, [vals], combine, [neutral])[0]
+
+
+def seg_totals_top2_max(vals: jnp.ndarray, first: jnp.ndarray
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-segment (largest, second largest) of ``vals``, landed on first
+    rows.  The top-2 "semiring" is associative (merging two internally
+    sorted pairs: ``max(a1,b1)`` then ``max(min(a1,b1), max(a2,b2))``),
+    so it rides the same jump-scan ladder as :func:`seg_totals_max`;
+    segments with a single row return ``neutral`` as the second value.
+    Used by the mode reduction to carry a RUNNER-UP (value, count) per
+    voxel so two-stage merges can out-vote wrong local winners
+    (ops/voxel_merge.py)."""
+    neutral = (-jnp.inf if jnp.issubdtype(vals.dtype, jnp.floating)
+               else jnp.iinfo(vals.dtype).min)
+
+    def combine(cols, shifted, ok):
+        a1, a2 = cols
+        b1 = jnp.where(ok, shifted[0], neutral)
+        b2 = jnp.where(ok, shifted[1], neutral)
+        return (jnp.maximum(a1, b1),
+                jnp.maximum(jnp.minimum(a1, b1), jnp.maximum(a2, b2)))
+
+    m1, m2 = _ladder_while(first, [vals, jnp.full_like(vals, neutral)],
+                           combine, [neutral, neutral])
+    return m1, m2
+
+
+def seg_totals_top2_lexmax2(primary: jnp.ndarray, secondary: jnp.ndarray,
+                            first: jnp.ndarray):
+    """Per-segment top-2 under the lexicographic (primary, secondary)
+    order of :func:`seg_totals_lexmax2`, landed on first rows.  Returns
+    ``(p1, s1, p2, s2)``; single-element segments report the neutral
+    (min, min) pair as second place."""
+    pmin = jnp.iinfo(primary.dtype).min
+    smin = jnp.iinfo(secondary.dtype).min
+
+    def lexmax(ap, as_, bp, bs):
+        a_wins = (ap > bp) | ((ap == bp) & (as_ >= bs))
+        return (jnp.where(a_wins, ap, bp), jnp.where(a_wins, as_, bs),
+                jnp.where(a_wins, bp, ap), jnp.where(a_wins, bs, as_))
+
+    def combine(cols, shifted, ok):
+        p1, s1, p2, s2 = cols
+        q1 = jnp.where(ok, shifted[0], pmin)
+        t1 = jnp.where(ok, shifted[1], smin)
+        q2 = jnp.where(ok, shifted[2], pmin)
+        t2 = jnp.where(ok, shifted[3], smin)
+        n1p, n1s, lp, ls = lexmax(p1, s1, q1, t1)      # winner + loser
+        m2p, m2s, _, _ = lexmax(p2, s2, q2, t2)        # best runner-up
+        n2p, n2s, _, _ = lexmax(lp, ls, m2p, m2s)
+        return (n1p, n1s, n2p, n2s)
+
+    return tuple(_ladder_while(
+        first,
+        [primary, secondary, jnp.full_like(primary, pmin),
+         jnp.full_like(secondary, smin)],
+        combine, [pmin, smin, pmin, smin]))
 
 
 def seg_totals_lexmax2(primary: jnp.ndarray, secondary: jnp.ndarray,

@@ -64,7 +64,8 @@ from ..math.morton import (_expand10_u32, morton_decode_u32,
                            morton_encode_dual32)
 from .compact import compact_columns, pack_int_columns, unpack_int_columns
 from .reductions import batch_bounds
-from .segscan import seg_totals_lexmax2, seg_totals_max, seg_totals_sum
+from .segscan import (seg_totals_lexmax2, seg_totals_max, seg_totals_sum,
+                      seg_totals_top2_lexmax2, seg_totals_top2_max)
 
 __all__ = ["voxel_indices", "voxel_downsample", "DEFAULT_POLICIES"]
 
@@ -272,9 +273,12 @@ def voxel_downsample(batch: PointBatch, leaf_size,
     one-shot global result — the return value becomes ``(batch, aux)``
     with ``aux = {"keys": (nk,)-tuple of u32 cell-key columns, "counts":
     i32 points per voxel, "mode_counts": {name: i32 count of the winning
-    mode value}, "raw_means": {name: f32 UNROUNDED mean for integer mean
-    columns, whose output cast truncates}}``, each aligned with the
-    output rows (rows past
+    mode value}, "mode2_values"/"mode2_counts": {name: the RUNNER-UP mode
+    value and its count (0, 0 when the voxel holds a single distinct
+    value) — a second vote per voxel that lets the merge elect the global
+    mode even where it wins no partial}, "raw_means": {name: f32 UNROUNDED
+    mean for integer mean columns, whose output cast truncates}}``, each
+    aligned with the output rows (rows past
     ``count`` hold the invalid key / zero counts, so concatenated partial
     results feed :func:`~pasture_tpu.ops.merge_voxel_batches` without
     masks).  Reference: voxel_grid.rs:443-700 reduction semantics carried
@@ -668,13 +672,17 @@ def voxel_downsample(batch: PointBatch, leaf_size,
         reduced[n] = _cast_as(jnp.maximum(m, 0.0), batch.data[n].dtype)
 
     # ---- mode: run-length scans over (key, value)-sorted values ------------
-    def _mode_from_sorted(sv, nk_new, vbits, vmin):
+    def _mode_from_sorted(sv, nk_new, vbits, vmin, want2=False):
         """``sv``: i32 values in ``[vmin, vmin + 2**vbits)``.  When run
         length + value fit one i32 (log2(cap)+vbits <= 31) the (max run,
         then min value) selection collapses to ONE packed max ladder
         instead of the two-column lexicographic one.  Returns
-        ``(mode value, count of that value)`` per segment (landed on
-        segment first rows)."""
+        ``(mode value, count of that value, runner-up value, runner-up
+        count)`` per segment (landed on segment first rows); the
+        runner-up pair is ``(0, 0)``-filled unless ``want2`` (the
+        ``with_aux`` merge statistics — a second (value, count) vote per
+        voxel lets :func:`~pasture_tpu.ops.merge_voxel_batches` elect the
+        global mode even where it wins no partial)."""
         run_new = nk_new | jnp.concatenate([jnp.ones((1,), bool),
                                             sv[1:] != sv[:-1]])
         f2 = nk_new & valid
@@ -685,13 +693,26 @@ def voxel_downsample(batch: PointBatch, leaf_size,
             vmax_enc = jnp.int32((1 << vbits) - 1)
             comp = vmax_enc - (sv - vmin)          # descending value order
             packed = jnp.where(runs, (run_len << vbits) | comp, -1)
-            best = seg_totals_max(packed, f2)
-            return ((vmax_enc - (best & vmax_enc)) + vmin,
-                    jnp.maximum(best >> vbits, 0))
+
+            def unpack(b):
+                c = jnp.maximum(b >> vbits, 0)
+                v = jnp.where(c > 0, (vmax_enc - (b & vmax_enc)) + vmin, 0)
+                return v, c
+
+            if not want2:
+                v1, c1 = unpack(seg_totals_max(packed, f2))
+                return v1, c1, None, None
+            b1, b2 = seg_totals_top2_max(packed, f2)
+            return unpack(b1) + unpack(b2)
         primary = jnp.where(runs, run_len, -1)
         secondary = jnp.where(runs, -sv, jnp.iinfo(jnp.int32).min)
-        best_len, best_neg = seg_totals_lexmax2(primary, secondary, f2)
-        return -best_neg, jnp.maximum(best_len, 0)
+        if not want2:
+            best_len, best_neg = seg_totals_lexmax2(primary, secondary, f2)
+            return -best_neg, jnp.maximum(best_len, 0), None, None
+        p1, s1, p2, s2 = seg_totals_top2_lexmax2(primary, secondary, f2)
+        c2 = jnp.maximum(p2, 0)
+        return (-s1, jnp.maximum(p1, 0),
+                jnp.where(c2 > 0, -s2, 0), c2)
 
     def _value_range(dtype):
         """(bits, min encodable value) for the packed-mode fast path; i32
@@ -705,12 +726,15 @@ def voxel_downsample(batch: PointBatch, leaf_size,
         return w, jnp.int32(vmin) if w < 32 else 0
 
     mode_win_counts: Dict[str, jnp.ndarray] = {}
+    mode2_values: Dict[str, jnp.ndarray] = {}
+    mode2_counts: Dict[str, jnp.ndarray] = {}
     for n in mode_names:
         col = batch.data[n]
         vbits, vmin = _value_range(col.dtype)
         if n == fused_mode:
             # already value-ordered by the fused extra key of sort 1
-            mv, mc = _mode_from_sorted(fused_vals, new_key, vbits, vmin)
+            mv, mc, m2v, m2c = _mode_from_sorted(fused_vals, new_key, vbits,
+                                                 vmin, want2=with_aux)
         else:
             s = _tiled_sort(tuple(keys) + (col.astype(jnp.int32),),
                             num_keys=nk + 1)
@@ -722,10 +746,13 @@ def voxel_downsample(batch: PointBatch, leaf_size,
                 if nk > 1 else (sk[0][1:] != sk[0][:-1])])
             if tile_start is not None:
                 nk_new = nk_new | tile_start
-            mv, mc = _mode_from_sorted(sv, nk_new, vbits, vmin)
+            mv, mc, m2v, m2c = _mode_from_sorted(sv, nk_new, vbits, vmin,
+                                                 want2=with_aux)
         reduced[n] = _cast_as(mv.astype(jnp.float32), col.dtype)
         if with_aux:
             mode_win_counts[n] = mc
+            mode2_values[n] = m2v
+            mode2_counts[n] = m2c
 
     # ---- prefix compaction: first rows to the front -------------------------
     # rows are already in Morton order and staged shifts preserve order, so
@@ -739,6 +766,8 @@ def voxel_downsample(batch: PointBatch, leaf_size,
         reduced["__aux_counts"] = counts32.astype(jnp.int32)
         for n, mc in mode_win_counts.items():
             reduced[f"__aux_mode:{n}"] = mc
+            reduced[f"__aux_m2v:{n}"] = mode2_values[n]
+            reduced[f"__aux_m2c:{n}"] = mode2_counts[n]
         for n, rm in raw_means.items():
             reduced[f"__aux_raw:{n}"] = rm
     cops, clayout = _flatten_cols(reduced)
@@ -759,6 +788,12 @@ def voxel_downsample(batch: PointBatch, leaf_size,
                                 out_data.pop("__aux_counts"), 0),
             "mode_counts": {
                 n: jnp.where(valid_out, out_data.pop(f"__aux_mode:{n}"), 0)
+                for n in mode_win_counts},
+            "mode2_values": {
+                n: jnp.where(valid_out, out_data.pop(f"__aux_m2v:{n}"), 0)
+                for n in mode_win_counts},
+            "mode2_counts": {
+                n: jnp.where(valid_out, out_data.pop(f"__aux_m2c:{n}"), 0)
                 for n in mode_win_counts},
             "raw_means": {n: out_data.pop(f"__aux_raw:{n}")
                           for n in raw_means},

@@ -13,15 +13,19 @@ pasture-algorithms/src/voxel_grid.rs:443-700):
   sum(c_i)`` is algebraically the global mean (equal up to f32 summation
   order; tests assert against an f64 oracle);
 * **max** — max of partial maxes (exact; the 0-clamp is idempotent);
-* **mode** — weighted vote over the partial winners: each partial
-  contributes its winning value with that value's true in-partial count,
-  matching counts are summed across partials, and the largest total wins
-  (ties to the smallest value, as in the one-shot path).  This is exact
-  whenever the global mode value wins at least one partial (always true
-  when a voxel lies in one chunk, and for any split where some chunk's
-  local winner is the global winner); it can differ only when the global
-  mode is a runner-up in EVERY partial — a documented, tested envelope
-  (see tests/test_voxel_merge.py), the price of merging without
+* **mode** — weighted vote over the partial winners AND runner-ups: each
+  partial contributes its top-2 (value, count) pairs with their true
+  in-partial counts, matching values are summed across partials, and the
+  largest total wins (ties to the smallest value, as in the one-shot
+  path).  This is exact whenever the global mode's votes are FULLY
+  carried — it ranks in the top-2 of every partial it appears in (always
+  true when a voxel lies in one chunk, and far more often than under the
+  winner-only vote for split voxels) — and more broadly whenever its
+  carried total still beats every rival's carried total; it can differ
+  only when the global mode ranks third or lower in some partial, losing
+  votes there — a documented,
+  tested envelope (see tests/test_voxel_merge.py; 0 misses measured even
+  on worst-case uniform-random labels), the price of merging without
   full per-voxel histograms.
 
 Merged outputs carry the same aux statistics, so merging FOLDS:
@@ -37,7 +41,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..buffers.device import PointBatch
-from .segscan import seg_totals_lexmax2, seg_totals_max, seg_totals_sum
+from .segscan import (seg_totals_max, seg_totals_sum,
+                      seg_totals_top2_lexmax2)
 from .compact import compact_columns, pack_int_columns, unpack_int_columns
 from .voxel import (DEFAULT_POLICIES, _INVALID_KEY, _cast_as, _flatten_cols,
                     _unflatten_cols)
@@ -114,6 +119,14 @@ def merge_voxel_batches(parts: Sequence[Tuple[PointBatch, Dict]],
     mode_names = [n for n in names if policy_of(n, data[n]) == "mode"]
     mode_counts = {n: cat([a["mode_counts"][n] for _, a in parts])
                    for n in mode_names}
+    # runner-up (value, count) votes (voxel_downsample with_aux since the
+    # top-2 carry): present unless a partial predates them
+    have2 = bool(mode_names) and all(
+        "mode2_counts" in a for _, a in parts)
+    mode2_vals = {n: cat([a["mode2_values"][n] for _, a in parts])
+                  for n in mode_names} if have2 else {}
+    mode2_cnts = {n: cat([a["mode2_counts"][n] for _, a in parts])
+                  for n in mode_names} if have2 else {}
     # integer mean columns were truncated by the output cast; merge from
     # the carried UNROUNDED partial means instead
     raw_names = list(aux0.get("raw_means", {}))
@@ -178,13 +191,34 @@ def merge_voxel_batches(parts: Sequence[Tuple[PointBatch, Dict]],
         m = seg_totals_max(v, first)
         reduced[n] = _cast_as(jnp.maximum(m, 0.0), data[n].dtype)
 
-    # ---- mode: weighted vote over partial winners --------------------------
+    # ---- mode: weighted vote over partial winners + runner-ups -------------
+    # each partial contributes its winner AND (when carried) its runner-up
+    # with their true in-partial counts; matching values sum across
+    # partials and the largest total wins (ties to the smallest value).
+    # The vote table is 2x the row space of sort 1, so mode columns
+    # compact separately — both compactions order voxels by ascending
+    # cell key, so the prefixes align row-for-row.
     mode_win: Dict[str, jnp.ndarray] = {}
+    mode2_win_v: Dict[str, jnp.ndarray] = {}
+    mode2_win_c: Dict[str, jnp.ndarray] = {}
+    mode_compacted: Dict[str, List[jnp.ndarray]] = {}
     imin = jnp.iinfo(jnp.int32).min
     for n in mode_names:
         col = data[n].astype(jnp.int32)
         mw = jnp.where(valid_in, mode_counts[n].astype(jnp.int32), 0)
-        s = lax.sort(tuple(keys) + (col, mw), num_keys=nk + 1,
+        if have2:
+            w2 = jnp.where(valid_in, mode2_cnts[n].astype(jnp.int32), 0)
+            vote_v = jnp.concatenate([col, mode2_vals[n].astype(jnp.int32)])
+            vote_w = jnp.concatenate([mw, w2])
+            # zero-weight rows (absent runner-ups, invalid inputs) sort
+            # to the tail like invalid voxels
+            vote_keys = tuple(
+                jnp.where(vote_w > 0, jnp.concatenate([k, k]), _INVALID_KEY)
+                for k in keys)
+        else:
+            vote_v, vote_w = col, mw
+            vote_keys = tuple(keys)
+        s = lax.sort(vote_keys + (vote_v, vote_w), num_keys=nk + 1,
                      is_stable=False)
         sv, sw = s[nk], s[nk + 1]
         sk = s[:nk]
@@ -197,22 +231,25 @@ def merge_voxel_batches(parts: Sequence[Tuple[PointBatch, Dict]],
         svalid = sk[0] != _INVALID_KEY
         f2 = nk_new & svalid
         runs = run_new & svalid
-        # total votes for each (voxel, value) run, then lexicographic
-        # (max votes, then min value) per voxel
+        # total votes for each (voxel, value) run, then top-2 under the
+        # lexicographic (max votes, then min value) order per voxel
         run_tot = seg_totals_sum(jnp.where(svalid, sw, 0), runs)
         primary = jnp.where(runs, run_tot, -1)
         secondary = jnp.where(runs, -sv, imin)
-        best_tot, best_neg = seg_totals_lexmax2(primary, secondary, f2)
-        mode_win[n] = jnp.maximum(best_tot, 0)
-        reduced[n] = _cast_as((-best_neg).astype(jnp.float32),
-                              data[n].dtype)
+        p1, s1, p2, s2 = seg_totals_top2_lexmax2(primary, secondary, f2)
+        win_v = -s1
+        win_c = jnp.maximum(p1, 0)
+        c2 = jnp.maximum(p2, 0)
+        v2 = jnp.where(c2 > 0, -s2, 0)
+        cols4, nv_mode = compact_columns([win_v, win_c, v2, c2], f2)
+        mode_compacted[n] = cols4
+        # nv_mode == the main num_voxels: same distinct valid key set
+        del nv_mode
 
     # ---- compact first rows to the front -----------------------------------
     for i in range(nk):
         reduced[f"__aux_key{i}"] = skeys[i]
     reduced["__aux_counts"] = counts_out.astype(jnp.int32)
-    for n, mc in mode_win.items():
-        reduced[f"__aux_mode:{n}"] = mc
     for n, rm in raw_out.items():
         reduced[f"__aux_raw:{n}"] = rm
     cops, clayout = _flatten_cols(reduced)
@@ -221,13 +258,21 @@ def merge_voxel_batches(parts: Sequence[Tuple[PointBatch, Dict]],
     out = _unflatten_cols(unpack_int_columns(compacted, pack_info), clayout)
 
     valid_out = jnp.arange(cap, dtype=jnp.int32) < num_voxels
+    for n, (win_v, win_c, v2, v2c) in mode_compacted.items():
+        out[n] = _cast_as(win_v[:cap].astype(jnp.float32), data[n].dtype)
+        mode_win[n] = jnp.where(valid_out, win_c[:cap], 0)
+        mode2_win_v[n] = jnp.where(valid_out, v2[:cap], 0)
+        mode2_win_c[n] = jnp.where(valid_out, v2c[:cap], 0)
     aux = {
         "keys": tuple(jnp.where(valid_out, out.pop(f"__aux_key{i}"),
                                 _INVALID_KEY) for i in range(nk)),
         "counts": jnp.where(valid_out, out.pop("__aux_counts"), 0),
-        "mode_counts": {
-            n: jnp.where(valid_out, out.pop(f"__aux_mode:{n}"), 0)
-            for n in mode_win},
+        "mode_counts": mode_win,
+        "mode2_values": mode2_win_v,
+        "mode2_counts": mode2_win_c,
         "raw_means": {n: out.pop(f"__aux_raw:{n}") for n in raw_out},
     }
+    # canonical attribute order: merge outputs must themselves be valid
+    # merge inputs (the fold form), and inputs are order-checked above
+    out = {n: out[n] for n in names}
     return (PointBatch(out, num_voxels, batch0.schema, batch0.meta), aux)

@@ -221,3 +221,96 @@ def test_merge_nearest_semantics(rng):
         np.asarray(merged.data[att.GPS_TIME.name])[:nv],
         np.asarray(one.data[att.GPS_TIME.name])[:nv], rtol=1e-6)
     assert int(np.asarray(aux["counts"]).sum()) == n
+
+
+def test_mode_runner_up_votes_elect_global_mode():
+    """Round-4.5 top-2 carry: a global mode that WINS NO partial (it is
+    the runner-up in each) is still elected by the merge — the exact case
+    the winner-only vote provably missed.  A: {1:2, 2:1}, B: {3:3, 2:2}
+    -> global {2:3, 3:3, 1:2}; tie 2 vs 3 resolves to the smaller value 2
+    (one-shot convention), while partial winners alone would elect 3."""
+    def chunk(labels):
+        m = len(labels)
+        cap = max(-(-m // 8) * 8, 8)
+        pos = np.full((m, 3), 0.5, np.float32)
+        d = {att.POSITION_3D.name:
+                 jnp.asarray(np.pad(pos, [(0, cap - m), (0, 0)])),
+             att.INTENSITY.name: jnp.zeros(cap, jnp.uint16),
+             att.CLASSIFICATION.name:
+                 jnp.asarray(np.pad(np.asarray(labels, np.uint8),
+                                    (0, cap - m))),
+             att.GPS_TIME.name: jnp.zeros(cap, jnp.float64)}
+        b = PointBatch(d, jnp.asarray(m, jnp.int32), SCHEMA, {})
+        return voxel_downsample(b, 1.0, semantics="floor",
+                                bounds=(jnp.zeros(3), None), with_aux=True)
+
+    A, B = chunk([1, 1, 2]), chunk([3, 3, 3, 2, 2])
+    # partial aux carries the runner-up votes
+    a2v = int(np.asarray(A[1]["mode2_values"][att.CLASSIFICATION.name])[0])
+    a2c = int(np.asarray(A[1]["mode2_counts"][att.CLASSIFICATION.name])[0])
+    assert (a2v, a2c) == (2, 1)
+    merged, aux = merge_voxel_batches([A, B])
+    assert int(merged.count) == 1
+    assert int(np.asarray(merged.data[att.CLASSIFICATION.name])[0]) == 2
+    assert int(np.asarray(
+        aux["mode_counts"][att.CLASSIFICATION.name])[0]) == 3
+    # matches the one-shot result exactly
+    one, _ = chunk([1, 1, 2, 3, 3, 3, 2, 2])
+    assert int(np.asarray(one.data[att.CLASSIFICATION.name])[0]) == 2
+
+
+def test_mode_top2_envelope(rng):
+    """With runner-up votes the worst-case disagreement rate collapses
+    (measured ~0.06% on uniform-random 8-label voxels over 4-way splits,
+    vs <2% for the winner-only vote), and EVERY remaining disagreement is
+    a genuine envelope case: the one-shot winner LOST votes to the carry
+    (it ranked third or lower in some partial, so its carried total is
+    strictly below its true global count)."""
+    pos, inten, cls, gps = _cloud(rng, n=4096, classes="random")
+    n = len(pos)
+    bounds = (jnp.zeros(3, jnp.float32), None)
+    one = voxel_downsample(_mk(pos, inten, cls, gps, slice(0, n)), 0.5,
+                           bounds=bounds, semantics="floor")
+    step = n // 4
+    parts = [voxel_downsample(
+        _mk(pos, inten, cls, gps, slice(a, min(a + step, n))), 0.5,
+        bounds=bounds, semantics="floor", with_aux=True)
+        for a in range(0, n, step)]
+    merged, aux = merge_voxel_batches(parts)
+    nv = int(one.count)
+    c1 = np.asarray(one.data[att.CLASSIFICATION.name])[:nv]
+    c2 = np.asarray(merged.data[att.CLASSIFICATION.name])[:nv]
+    dis = c1 != c2
+    assert dis.mean() < 0.005, dis.mean()
+    # every disagreement: the one-shot winner's carried vote total is
+    # strictly below its true global count (it ranked >= 3rd somewhere)
+    mkeys = list(zip(*(np.asarray(k)[:nv] for k in aux["keys"])))
+    lookup = {k: i for i, k in enumerate(mkeys)}
+    cname = att.CLASSIFICATION.name
+    carried = [dict() for _ in range(nv)]  # value -> carried vote total
+    for part, paux in parts:
+        pn = int(part.count)
+        pkeys = list(zip(*(np.asarray(k)[:pn] for k in paux["keys"])))
+        win = np.asarray(part.data[cname])[:pn]
+        wc = np.asarray(paux["mode_counts"][cname])[:pn]
+        m2v = np.asarray(paux["mode2_values"][cname])[:pn]
+        m2c = np.asarray(paux["mode2_counts"][cname])[:pn]
+        for i, k in enumerate(pkeys):
+            d = carried[lookup[k]]
+            d[int(win[i])] = d.get(int(win[i]), 0) + int(wc[i])
+            if m2c[i] > 0:
+                d[int(m2v[i])] = d.get(int(m2v[i]), 0) + int(m2c[i])
+    # true per-voxel label counts from the points themselves
+    cells = np.floor(pos.astype(np.float64) / 0.5).astype(np.int64)
+    true_cnt = {}
+    # map output rows to cells via the one-shot positions' own voxels
+    p1 = np.asarray(one.data[att.POSITION_3D.name])[:nv]
+    row_cell = np.floor(p1.astype(np.float64) / 0.5).astype(np.int64)
+    for i in range(n):
+        key = tuple(cells[i])
+        true_cnt.setdefault(key, {})
+        true_cnt[key][int(cls[i])] = true_cnt[key].get(int(cls[i]), 0) + 1
+    for j in np.flatnonzero(dis):
+        tc = true_cnt[tuple(row_cell[j])]
+        got = carried[j].get(int(c1[j]), 0)
+        assert got < tc[int(c1[j])], (j, c1[j], got, tc)
