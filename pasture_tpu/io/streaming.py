@@ -58,11 +58,17 @@ def _merge_trim_jit(policies_key):
 
     @partial(jax.jit, static_argnames=("cap",))
     def merge_trim(acc, part, cap):
-        b, a = merge_voxel_batches([acc, part], policies=policies)
+        # mode_runs_cap sizes the merged run tables (exact-mode path) to
+        # the same static capacity as the voxel rows; ignored otherwise
+        b, a = merge_voxel_batches([acc, part], policies=policies,
+                                   mode_runs_cap=cap)
         data = {n: c[:cap] for n, c in b.data.items()}
         # aux is a pytree of per-voxel-row columns — trim generically so
-        # new statistics (e.g. the mode runner-up votes) flow through
-        aa = jax.tree.map(lambda c: c[:cap], a)
+        # new statistics (e.g. the mode runner-up votes) flow through;
+        # scalars (the run-table num_runs counters) pass untouched
+        import jax.numpy as jnp
+        aa = jax.tree.map(
+            lambda c: c if jnp.ndim(c) == 0 else c[:cap], a)
         return (PointBatch(data, b.count, b.schema, b.meta), aa)
 
     return merge_trim
@@ -150,11 +156,14 @@ def streaming_voxel_downsample(path: Union[str, Path], leaf_size: float,
     one-shot global voxelization: exactly for the mean/max policies
     (weighted mean of partial means / max of maxes; integer mean columns
     may differ by one unit of the final integer cast, both paths rounding
-    f32), and mode within the documented top-2 weighted-vote envelope
-    (ops/voxel_merge.py — exact unless the global mode value ranks third
-    or lower in some chunk, losing votes to the carry; measured ~0.06%
-    worst case).  Value-level equality is asserted in
-    tests/test_streaming.py.
+    f32), and mode either EXACTLY (pass ``mode_runs=True`` to carry each
+    chunk's full per-(voxel, value) histogram through the fold — the
+    accumulator's run tables ride the same geometric capacity schedule,
+    truncation-free since runs <= points) or, by default, within the
+    documented top-2 weighted-vote envelope (ops/voxel_merge.py — exact
+    unless the global mode value ranks third or lower in some chunk,
+    losing votes to the carry; measured ~0.06% worst case).  Value-level
+    equality is asserted in tests/test_streaming.py.
 
     The hot loop never round-trips point data through the host: partial
     centroid batches stay on device and only the voxel-count scalar is
@@ -242,6 +251,12 @@ def streaming_voxel_downsample(path: Union[str, Path], leaf_size: float,
         # voxel count (one scalar fetch)
         if seen > acc_cap:
             nv = int(acc[0].count)
+            # exact-mode run tables share the capacity schedule: total
+            # runs <= total points, and each chunk adds <= chunk_points
+            # runs, so sizing by the larger of (voxels, runs) keeps the
+            # fold truncation-free (asserted below)
+            for rt in acc[1].get("mode_runs", {}).values():
+                nv = max(nv, int(rt["num_runs"]))
             want = chunk_points
             while want < nv + chunk_points:
                 want <<= 1
@@ -251,6 +266,11 @@ def streaming_voxel_downsample(path: Union[str, Path], leaf_size: float,
         acc = merge_trim_fn(acc, part, acc_cap)
     if acc is None:
         raise ValueError("empty input")
+    for n, rt in acc[1].get("mode_runs", {}).items():
+        if int(rt["num_runs"]) > rt["values"].shape[0]:  # pragma: no cover
+            raise AssertionError(
+                f"mode run table for {n!r} overflowed its capacity — "
+                "exactness lost (capacity schedule bug)")
     if with_aux:
         return acc
     return acc[0]

@@ -198,7 +198,8 @@ def voxel_downsample(batch: PointBatch, leaf_size,
                      local_affine: Optional[Tuple[jnp.ndarray, jnp.ndarray,
                                                   jnp.ndarray, jnp.ndarray]]
                      = None,
-                     with_aux: bool = False) -> PointBatch:
+                     with_aux: bool = False,
+                     mode_runs: bool = False) -> PointBatch:
     """Voxel-grid downsample a batch; returns a batch of voxel centroids
     (same schema/capacity, ``count`` = number of occupied voxels, ordered by
     Morton code — the reference orders voxels by (x,y,z) tuple instead).
@@ -283,6 +284,16 @@ def voxel_downsample(batch: PointBatch, leaf_size,
     results feed :func:`~pasture_tpu.ops.merge_voxel_batches` without
     masks).  Reference: voxel_grid.rs:443-700 reduction semantics carried
     across chunk boundaries.
+
+    ``mode_runs`` (requires ``with_aux``): additionally emit, per mode
+    column, the FULL per-(voxel, value) run table —
+    ``aux["mode_runs"][name] = {"keys": (nk,)-tuple of u32 cell keys,
+    "values": i32, "counts": i32}`` (capacity rows, key-ordered, padded
+    with the invalid key / zeros).  The run table is the voxel's complete
+    value histogram, so :func:`~pasture_tpu.ops.merge_voxel_batches` over
+    run-table-carrying partials elects the global mode EXACTLY (no vote
+    envelope) at the cost of one extra compaction here and histogram-width
+    merge columns there.
     """
     pre = precomputed is not None
     pre_exact = pre and precomputed[1] is None
@@ -315,6 +326,9 @@ def voxel_downsample(batch: PointBatch, leaf_size,
         if name in _WAVEFORM_NAMES:
             raise ValueError("waveform data currently not supported "
                              "(voxel_grid.rs:452-459 parity)")
+    if mode_runs and not with_aux:
+        raise ValueError("mode_runs requires with_aux=True (it is a merge "
+                         "statistic)")
 
     pol = dict(DEFAULT_POLICIES)
     if policies:
@@ -678,11 +692,14 @@ def voxel_downsample(batch: PointBatch, leaf_size,
         then min value) selection collapses to ONE packed max ladder
         instead of the two-column lexicographic one.  Returns
         ``(mode value, count of that value, runner-up value, runner-up
-        count)`` per segment (landed on segment first rows); the
-        runner-up pair is ``(0, 0)``-filled unless ``want2`` (the
-        ``with_aux`` merge statistics — a second (value, count) vote per
-        voxel lets :func:`~pasture_tpu.ops.merge_voxel_batches` elect the
-        global mode even where it wins no partial)."""
+        count, run-first mask, run length)`` per segment (value/count
+        columns landed on segment first rows; the run columns on
+        (voxel, value)-run first rows — the full histogram, for
+        ``mode_runs``); the runner-up pair is ``(None, None)`` unless
+        ``want2`` (the ``with_aux`` merge statistics — a second
+        (value, count) vote per voxel lets
+        :func:`~pasture_tpu.ops.merge_voxel_batches` elect the global
+        mode even where it wins no partial)."""
         run_new = nk_new | jnp.concatenate([jnp.ones((1,), bool),
                                             sv[1:] != sv[:-1]])
         f2 = nk_new & valid
@@ -701,18 +718,19 @@ def voxel_downsample(batch: PointBatch, leaf_size,
 
             if not want2:
                 v1, c1 = unpack(seg_totals_max(packed, f2))
-                return v1, c1, None, None
+                return v1, c1, None, None, runs, run_len
             b1, b2 = seg_totals_top2_max(packed, f2)
-            return unpack(b1) + unpack(b2)
+            return unpack(b1) + unpack(b2) + (runs, run_len)
         primary = jnp.where(runs, run_len, -1)
         secondary = jnp.where(runs, -sv, jnp.iinfo(jnp.int32).min)
         if not want2:
             best_len, best_neg = seg_totals_lexmax2(primary, secondary, f2)
-            return -best_neg, jnp.maximum(best_len, 0), None, None
+            return (-best_neg, jnp.maximum(best_len, 0), None, None,
+                    runs, run_len)
         p1, s1, p2, s2 = seg_totals_top2_lexmax2(primary, secondary, f2)
         c2 = jnp.maximum(p2, 0)
         return (-s1, jnp.maximum(p1, 0),
-                jnp.where(c2 > 0, -s2, 0), c2)
+                jnp.where(c2 > 0, -s2, 0), c2, runs, run_len)
 
     def _value_range(dtype):
         """(bits, min encodable value) for the packed-mode fast path; i32
@@ -728,13 +746,15 @@ def voxel_downsample(batch: PointBatch, leaf_size,
     mode_win_counts: Dict[str, jnp.ndarray] = {}
     mode2_values: Dict[str, jnp.ndarray] = {}
     mode2_counts: Dict[str, jnp.ndarray] = {}
+    mode_run_tables: Dict[str, Dict[str, jnp.ndarray]] = {}
     for n in mode_names:
         col = batch.data[n]
         vbits, vmin = _value_range(col.dtype)
         if n == fused_mode:
             # already value-ordered by the fused extra key of sort 1
-            mv, mc, m2v, m2c = _mode_from_sorted(fused_vals, new_key, vbits,
-                                                 vmin, want2=with_aux)
+            sv_n, sk_n = fused_vals, skeys
+            mv, mc, m2v, m2c, runs_n, rlen_n = _mode_from_sorted(
+                fused_vals, new_key, vbits, vmin, want2=with_aux)
         else:
             s = _tiled_sort(tuple(keys) + (col.astype(jnp.int32),),
                             num_keys=nk + 1)
@@ -746,13 +766,29 @@ def voxel_downsample(batch: PointBatch, leaf_size,
                 if nk > 1 else (sk[0][1:] != sk[0][:-1])])
             if tile_start is not None:
                 nk_new = nk_new | tile_start
-            mv, mc, m2v, m2c = _mode_from_sorted(sv, nk_new, vbits, vmin,
-                                                 want2=with_aux)
+            sv_n, sk_n = sv, sk
+            mv, mc, m2v, m2c, runs_n, rlen_n = _mode_from_sorted(
+                sv, nk_new, vbits, vmin, want2=with_aux)
         reduced[n] = _cast_as(mv.astype(jnp.float32), col.dtype)
         if with_aux:
             mode_win_counts[n] = mc
             mode2_values[n] = m2v
             mode2_counts[n] = m2c
+        if mode_runs:
+            # full per-(voxel, value) histogram: compact run-first rows
+            # (key-ordered) to the front; padded rows carry the invalid
+            # key / zeros so concatenated tables merge mask-free
+            rcols = (list(sk_n)
+                     + [sv_n.astype(jnp.int32), rlen_n.astype(jnp.int32)])
+            rcomp, nruns = compact_columns(rcols, runs_n)
+            rvalid = jnp.arange(cap, dtype=jnp.int32) < nruns
+            mode_run_tables[n] = {
+                "keys": tuple(jnp.where(rvalid, k, _INVALID_KEY)
+                              for k in rcomp[:nk]),
+                "values": jnp.where(rvalid, rcomp[nk], 0),
+                "counts": jnp.where(rvalid, rcomp[nk + 1], 0),
+                "num_runs": nruns,
+            }
 
     # ---- prefix compaction: first rows to the front -------------------------
     # rows are already in Morton order and staged shifts preserve order, so
@@ -798,6 +834,8 @@ def voxel_downsample(batch: PointBatch, leaf_size,
             "raw_means": {n: out_data.pop(f"__aux_raw:{n}")
                           for n in raw_means},
         }
+        if mode_runs:
+            aux["mode_runs"] = mode_run_tables
         return (PointBatch(out_data, num_voxels, batch.schema, batch.meta),
                 aux)
 

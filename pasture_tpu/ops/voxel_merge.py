@@ -13,7 +13,12 @@ pasture-algorithms/src/voxel_grid.rs:443-700):
   sum(c_i)`` is algebraically the global mean (equal up to f32 summation
   order; tests assert against an f64 oracle);
 * **max** — max of partial maxes (exact; the 0-clamp is idempotent);
-* **mode** — weighted vote over the partial winners AND runner-ups: each
+* **mode** — EXACT when the partials carry full run tables
+  (``voxel_downsample(..., mode_runs=True)``): the vote then covers every
+  voxel's complete (value, count) histogram, so the elected mode equals
+  the one-shot global mode unconditionally, and the merge emits the
+  summed histogram so folds stay exact.  Without run tables the merge
+  falls back to a weighted vote over the partial winners AND runner-ups: each
   partial contributes its top-2 (value, count) pairs with their true
   in-partial counts, matching values are summed across partials, and the
   largest total wins (ties to the smallest value, as in the one-shot
@@ -51,7 +56,9 @@ __all__ = ["merge_voxel_batches"]
 
 
 def merge_voxel_batches(parts: Sequence[Tuple[PointBatch, Dict]],
-                        policies: Optional[Dict[str, str]] = None
+                        policies: Optional[Dict[str, str]] = None,
+                        exact_mode: Optional[bool] = None,
+                        mode_runs_cap: Optional[int] = None
                         ) -> Tuple[PointBatch, Dict]:
     """Merge partial voxelizations into one, exactly (see module doc).
 
@@ -88,6 +95,20 @@ def merge_voxel_batches(parts: Sequence[Tuple[PointBatch, Dict]],
     (1, 2)
     >>> np.asarray(merged.data[att.POSITION_3D.name][0]).round(2).tolist()
     [0.3, 0.3, 0.3]
+
+    ``exact_mode``: ``None`` (default) uses the EXACT run-table mode
+    merge whenever every partial carries ``aux["mode_runs"]`` (produced
+    by ``voxel_downsample(..., with_aux=True, mode_runs=True)``) and the
+    top-2 weighted vote otherwise; ``True`` requires run tables (raises
+    if absent); ``False`` forces the vote.  With run tables the vote is
+    over each voxel's complete value histogram, so the merged mode equals
+    the one-shot global mode unconditionally, and the output carries
+    merged run tables (the summed histograms), keeping FOLDS exact too.
+    ``mode_runs_cap``: static capacity for the merged run tables (default
+    = the concatenated input capacity).  Merged tables report their true
+    run count as ``aux["mode_runs"][n]["num_runs"]`` — if it exceeds the
+    cap the table was truncated (largest keys dropped) and later folds
+    lose exactness; callers clamping the cap should assert it on host.
     """
     if not parts:
         raise ValueError("merge_voxel_batches needs at least one partial")
@@ -123,6 +144,17 @@ def merge_voxel_batches(parts: Sequence[Tuple[PointBatch, Dict]],
     # top-2 carry): present unless a partial predates them
     have2 = bool(mode_names) and all(
         "mode2_counts" in a for _, a in parts)
+    # full per-(voxel, value) run tables (mode_runs=True): the EXACT path
+    have_runs = bool(mode_names) and all(
+        "mode_runs" in a and all(n in a["mode_runs"] for n in mode_names)
+        for _, a in parts)
+    use_exact = have_runs if exact_mode is None else bool(exact_mode)
+    if use_exact and not have_runs:
+        raise ValueError(
+            "exact_mode=True needs aux['mode_runs'] on every partial for "
+            "every mode column (voxel_downsample(..., with_aux=True, "
+            "mode_runs=True))")
+    use_exact = use_exact and bool(mode_names)
     mode2_vals = {n: cat([a["mode2_values"][n] for _, a in parts])
                   for n in mode_names} if have2 else {}
     mode2_cnts = {n: cat([a["mode2_counts"][n] for _, a in parts])
@@ -203,10 +235,20 @@ def merge_voxel_batches(parts: Sequence[Tuple[PointBatch, Dict]],
     mode2_win_c: Dict[str, jnp.ndarray] = {}
     mode_compacted: Dict[str, List[jnp.ndarray]] = {}
     imin = jnp.iinfo(jnp.int32).min
+    merged_runs: Dict[str, Dict[str, jnp.ndarray]] = {}
     for n in mode_names:
         col = data[n].astype(jnp.int32)
         mw = jnp.where(valid_in, mode_counts[n].astype(jnp.int32), 0)
-        if have2:
+        if use_exact:
+            # exact: vote over the complete per-(voxel, value) histograms
+            # — every value's true global total is on the table, so the
+            # lexmax below IS the one-shot mode (no envelope)
+            rts = [a["mode_runs"][n] for _, a in parts]
+            vote_v = cat([t["values"].astype(jnp.int32) for t in rts])
+            vote_w = cat([t["counts"].astype(jnp.int32) for t in rts])
+            vote_keys = tuple(cat([t["keys"][i] for t in rts])
+                              for i in range(nk))
+        elif have2:
             w2 = jnp.where(valid_in, mode2_cnts[n].astype(jnp.int32), 0)
             vote_v = jnp.concatenate([col, mode2_vals[n].astype(jnp.int32)])
             vote_w = jnp.concatenate([mw, w2])
@@ -234,6 +276,30 @@ def merge_voxel_batches(parts: Sequence[Tuple[PointBatch, Dict]],
         # total votes for each (voxel, value) run, then top-2 under the
         # lexicographic (max votes, then min value) order per voxel
         run_tot = seg_totals_sum(jnp.where(svalid, sw, 0), runs)
+        if use_exact:
+            # carry the merged histogram (summed counts per (voxel, value))
+            # so a merge output is itself an exact-mode merge input: folds
+            # stay exact while the true run count fits the table capacity
+            rcols = ([jnp.where(runs, k, _INVALID_KEY) for k in sk]
+                     + [jnp.where(runs, sv, 0), jnp.where(runs, run_tot, 0)])
+            rcomp, nruns = compact_columns(rcols, runs)
+            rn = rcomp[0].shape[0]
+            rcap = rn if mode_runs_cap is None else int(mode_runs_cap)
+            rvalid = jnp.arange(rn, dtype=jnp.int32) < nruns
+
+            def _fit(c, pad):
+                c = jnp.where(rvalid, c, jnp.asarray(pad, c.dtype))
+                if rcap <= rn:
+                    return c[:rcap]
+                return jnp.concatenate(
+                    [c, jnp.full((rcap - rn,), pad, c.dtype)])
+
+            merged_runs[n] = {
+                "keys": tuple(_fit(k, _INVALID_KEY) for k in rcomp[:nk]),
+                "values": _fit(rcomp[nk], 0),
+                "counts": _fit(rcomp[nk + 1], 0),
+                "num_runs": nruns,
+            }
         primary = jnp.where(runs, run_tot, -1)
         secondary = jnp.where(runs, -sv, imin)
         p1, s1, p2, s2 = seg_totals_top2_lexmax2(primary, secondary, f2)
@@ -272,6 +338,8 @@ def merge_voxel_batches(parts: Sequence[Tuple[PointBatch, Dict]],
         "mode2_counts": mode2_win_c,
         "raw_means": {n: out.pop(f"__aux_raw:{n}") for n in raw_out},
     }
+    if use_exact:
+        aux["mode_runs"] = merged_runs
     # canonical attribute order: merge outputs must themselves be valid
     # merge inputs (the fold form), and inputs are order-checked above
     out = {n: out[n] for n in names}

@@ -16,9 +16,12 @@ The two-stage voxel merge (``sharded_voxel_downsample`` ``with_aux=True``
 global voxelization for the mean/max policies — per-shard partials carry
 per-voxel counts and unrounded means, and the merge computes the weighted
 mean of means / max of maxes (value-level tests in tests/test_parallel.py).
-Mode merges by weighted vote over per-shard winners: exact unless the
-global mode value loses in EVERY shard that sees it — the documented
-envelope of ops/voxel_merge.py.
+Mode is EXACT too when the per-shard voxelize carries full run tables
+(pass ``mode_runs=True`` through ``voxel_kwargs`` — each shard ships its
+per-(voxel, value) histogram and the merge elects the true global mode);
+without them it merges by weighted vote over per-shard winners and
+runner-ups: exact unless the global mode value ranks third or lower in
+every shard that sees it — the documented envelope of ops/voxel_merge.py.
 """
 
 from __future__ import annotations
@@ -117,6 +120,12 @@ def sharded_voxel_downsample(batch: PointBatch, mesh: Mesh, leaf_size,
                                **voxel_kwargs)
         if with_aux:
             out, aux = out
+            if "mode_runs" in aux:
+                # the scalar run counters must be rank-1 to shard on the
+                # axis (global view: one entry per shard)
+                aux["mode_runs"] = {
+                    n: {**rt, "num_runs": jnp.reshape(rt["num_runs"], (1,))}
+                    for n, rt in aux["mode_runs"].items()}
             return out.data, out.count[None], aux
         return out.data, out.count[None]
 
@@ -152,7 +161,9 @@ def sharded_voxel_downsample_merged(batch: PointBatch, mesh: Mesh, leaf_size,
     Runs :func:`sharded_voxel_downsample` ``with_aux``, then merges the
     per-shard partials with :func:`~pasture_tpu.ops.merge_voxel_batches`
     — the result's centroid VALUES equal the one-shot single-device
-    voxelization for mean/max policies (mode: weighted-vote envelope).
+    voxelization for mean/max policies (mode: exact with
+    ``mode_runs=True`` in ``voxel_kwargs``, weighted-vote envelope
+    otherwise).
     The merge operates on the global view of the sharded arrays (voxel
     statistics, bounded by the voxel count — not raw points); XLA
     inserts the gather/resharding collectives.

@@ -388,3 +388,35 @@ def test_partitioned_icp_realistic_scene_halo_envelope(mesh, rng):
             np.sqrt(np.asarray(d2)) > np.sqrt(best) + 1e-3)))
     assert misses[0] >= misses[1] >= misses[2]
     assert misses[2] < 0.15
+
+
+def test_sharded_voxel_merged_exact_mode_runs(mesh, rng):
+    """``mode_runs=True`` through the sharded path: per-shard run tables
+    ride the shard_map aux, and the merged mode equals the single-device
+    one-shot EXACTLY on worst-case uniform-random labels (the vote path
+    only bounds this case)."""
+    from pasture_tpu.ops import voxel_downsample
+    from pasture_tpu.parallel import sharded_voxel_downsample_merged
+
+    n, cap = 1000, 1024
+    schema = PointSchema.from_attributes(
+        [att.POSITION_3D, att.CLASSIFICATION])
+    cols = {
+        att.POSITION_3D.name: rng.uniform(0, 6, (n, 3)),
+        att.CLASSIFICATION.name: rng.integers(0, 8, n).astype(np.uint8),
+    }
+    host = HostPointBuffer.from_columns(schema, cols)
+    batch = PointBatch.from_host(host, policy=DevicePolicy.EXACT,
+                                 capacity=cap)
+    sharded = shard_batch(batch, mesh)
+    merged, aux = sharded_voxel_downsample_merged(sharded, mesh, 1.0,
+                                                  mode_runs=True)
+    single = voxel_downsample(batch, 1.0, semantics="floor")
+    nv = int(np.asarray(single.count))
+    assert int(np.asarray(merged.count)) == nv
+    np.testing.assert_array_equal(
+        np.asarray(merged.data[att.CLASSIFICATION.name])[:nv],
+        np.asarray(single.data[att.CLASSIFICATION.name])[:nv])
+    # merged aux carries the exact summed histograms
+    rt = aux["mode_runs"][att.CLASSIFICATION.name]
+    assert int(np.asarray(rt["counts"]).sum()) == n

@@ -127,3 +127,40 @@ def test_streaming_voxel_downsample_forwards_fast_path_kwargs(tmp_path):
     np.testing.assert_allclose(
         quant.to_host().get(att.POSITION_3D),
         exact.to_host().get(att.POSITION_3D), atol=1.0 / 1024 + 1e-5)
+
+
+def test_streaming_exact_mode_runs(tmp_path, rng):
+    """``mode_runs=True`` carries full per-(voxel, value) histograms
+    through the streaming fold, so classification matches the one-shot
+    mode EXACTLY even on worst-case uniform-random labels (where the
+    default top-2 vote only has a small documented envelope)."""
+    n = 20_000
+    schema = PointSchema.from_attributes(
+        [att.POSITION_3D, att.CLASSIFICATION])
+    pos = np.round(rng.uniform(0, 20, (n, 3)), 3)
+    cols = {
+        att.POSITION_3D.name: pos,
+        att.CLASSIFICATION.name: rng.integers(0, 8, n).astype(np.uint8),
+    }
+    buf = HostPointBuffer.from_columns(schema, cols)
+    path = tmp_path / "rand.las"
+    write_all(buf, path)
+
+    out = streaming_voxel_downsample(path, 1.0, chunk_points=4096,
+                                     mode_runs=True)
+
+    from pasture_tpu.buffers.device import PointBatch
+    from pasture_tpu.io import read_all
+    from pasture_tpu.ops.voxel import voxel_downsample
+    import jax.numpy as jnp
+    rbuf = read_all(path)
+    full = voxel_downsample(
+        PointBatch.from_host(rbuf), 1.0,
+        bounds=(jnp.asarray(rbuf.get_converted(att.POSITION_3D).min(0),
+                            jnp.float32), None),
+        semantics="floor")
+    nv = int(np.asarray(full.count))
+    assert int(np.asarray(out.count)) == nv
+    np.testing.assert_array_equal(
+        np.asarray(out.data[att.CLASSIFICATION.name])[:nv],
+        np.asarray(full.data[att.CLASSIFICATION.name])[:nv])

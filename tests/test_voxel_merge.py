@@ -314,3 +314,104 @@ def test_mode_top2_envelope(rng):
         tc = true_cnt[tuple(row_cell[j])]
         got = carried[j].get(int(c1[j]), 0)
         assert got < tc[int(c1[j])], (j, c1[j], got, tc)
+
+
+def _chunk_labeled(labels, mode_runs=False):
+    m = len(labels)
+    cap = max(-(-m // 8) * 8, 8)
+    pos = np.full((m, 3), 0.5, np.float32)
+    d = {att.POSITION_3D.name:
+             jnp.asarray(np.pad(pos, [(0, cap - m), (0, 0)])),
+         att.INTENSITY.name: jnp.zeros(cap, jnp.uint16),
+         att.CLASSIFICATION.name:
+             jnp.asarray(np.pad(np.asarray(labels, np.uint8),
+                                (0, cap - m))),
+         att.GPS_TIME.name: jnp.zeros(cap, jnp.float64)}
+    b = PointBatch(d, jnp.asarray(m, jnp.int32), SCHEMA, {})
+    return voxel_downsample(b, 1.0, semantics="floor",
+                            bounds=(jnp.zeros(3), None), with_aux=True,
+                            mode_runs=mode_runs)
+
+
+def test_mode_runs_exact_beats_vote_envelope():
+    """Run-table carriage makes the mode merge EXACT where even the top-2
+    vote provably fails: the global mode ranks THIRD in every partial
+    (so no vote for it is carried), yet the exact merge elects it."""
+    chunks = [[5, 5, 5, 6, 6, 6, 9, 9], [7, 7, 7, 8, 8, 8, 9, 9],
+              [3, 3, 3, 4, 4, 4, 9, 9]]
+    cname = att.CLASSIFICATION.name
+    one, _ = _chunk_labeled(sum(chunks, []))
+    assert int(np.asarray(one.data[cname])[0]) == 9  # global {9:6, rest:3}
+
+    vote, _ = merge_voxel_batches([_chunk_labeled(c) for c in chunks])
+    assert int(np.asarray(vote.data[cname])[0]) != 9  # the envelope case
+
+    parts = [_chunk_labeled(c, mode_runs=True) for c in chunks]
+    exact, aux = merge_voxel_batches(parts)
+    assert int(np.asarray(exact.data[cname])[0]) == 9
+    assert int(np.asarray(aux["mode_counts"][cname])[0]) == 6
+    # merged run table is the exact summed histogram
+    rt = aux["mode_runs"][cname]
+    nr = int(rt["num_runs"])
+    hist = dict(zip(np.asarray(rt["values"])[:nr].tolist(),
+                    np.asarray(rt["counts"])[:nr].tolist()))
+    assert hist == {3: 3, 4: 3, 5: 3, 6: 3, 7: 3, 8: 3, 9: 6}
+    # explicit exact_mode control
+    forced, _ = merge_voxel_batches(parts, exact_mode=False)
+    assert int(np.asarray(forced.data[cname])[0]) != 9
+    import pytest
+    with pytest.raises(ValueError, match="mode_runs"):
+        merge_voxel_batches([_chunk_labeled(c) for c in chunks],
+                            exact_mode=True)
+
+
+def test_mode_runs_fold_and_cap():
+    """merge(merge(a, b), c) with run tables equals the one-shot mode (the
+    merged table is itself an exact-mode input), and mode_runs_cap clamps
+    the table while reporting the true run count for overflow checks."""
+    chunks = [[5, 5, 5, 6, 6, 6, 9, 9], [7, 7, 7, 8, 8, 8, 9, 9],
+              [3, 3, 3, 4, 4, 4, 9, 9]]
+    cname = att.CLASSIFICATION.name
+    parts = [_chunk_labeled(c, mode_runs=True) for c in chunks]
+    ab = merge_voxel_batches(parts[:2])
+    fold, _ = merge_voxel_batches([ab, parts[2]])
+    assert int(np.asarray(fold.data[cname])[0]) == 9
+    capped, caux = merge_voxel_batches(parts, mode_runs_cap=4)
+    rt = caux["mode_runs"][cname]
+    assert rt["values"].shape[0] == 4 and int(rt["num_runs"]) == 7
+    # truncation is detectable on host: num_runs > cap
+    assert int(rt["num_runs"]) > 4
+    # a generous cap keeps exactness through further folds
+    wide = merge_voxel_batches(parts[:2], mode_runs_cap=64)
+    fold2, _ = merge_voxel_batches([wide, parts[2]])
+    assert int(np.asarray(fold2.data[cname])[0]) == 9
+
+
+def test_mode_runs_randomized_oracle(rng):
+    """Random labels over random chunkings: the exact merge equals the
+    one-shot global voxelization at VALUE level for every column,
+    including the mode column the vote path only bounds."""
+    pos, inten, cls, gps = _cloud(rng, n=2048, classes="random")
+    n = len(pos)
+    bounds = (jnp.zeros(3, jnp.float32), None)
+    one = voxel_downsample(_mk(pos, inten, cls, gps, slice(0, n)), 0.5,
+                           bounds=bounds, semantics="floor")
+    nv = int(one.count)
+    for trial in range(3):
+        cuts = sorted(rng.integers(1, n - 1, 3).tolist())
+        edges = [0] + cuts + [n]
+        parts = [voxel_downsample(
+            _mk(pos, inten, cls, gps, slice(a, b)), 0.5, bounds=bounds,
+            semantics="floor", with_aux=True, mode_runs=True)
+            for a, b in zip(edges[:-1], edges[1:]) if b > a]
+        merged, aux = merge_voxel_batches(parts)
+        assert int(merged.count) == nv
+        np.testing.assert_array_equal(
+            np.asarray(merged.data[att.CLASSIFICATION.name])[:nv],
+            np.asarray(one.data[att.CLASSIFICATION.name])[:nv])
+        np.testing.assert_allclose(
+            np.asarray(merged.data[att.POSITION_3D.name])[:nv],
+            np.asarray(one.data[att.POSITION_3D.name])[:nv], atol=2e-5)
+        # per-voxel run counts sum to the per-voxel point counts
+        rt = aux["mode_runs"][att.CLASSIFICATION.name]
+        assert int(np.asarray(rt["counts"]).sum()) == n
