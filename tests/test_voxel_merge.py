@@ -415,3 +415,29 @@ def test_mode_runs_randomized_oracle(rng):
         # per-voxel run counts sum to the per-voxel point counts
         rt = aux["mode_runs"][att.CLASSIFICATION.name]
         assert int(np.asarray(rt["counts"]).sum()) == n
+
+
+def test_mode_runs_exact_under_sort_tiles(rng):
+    """sort_tiles partials with non-disjoint tiles emit DUPLICATE
+    (key, value) runs (one per tile that sees the pair); the exact merge
+    sums them, so the merged mode equals the global one-shot mode even on
+    uniform-random labels split across tiles AND chunks."""
+    pos, inten, cls, gps = _cloud(rng, n=4096, classes="random")
+    n = len(pos)
+    bounds = (jnp.zeros(3, jnp.float32), None)
+    one = voxel_downsample(_mk(pos, inten, cls, gps, slice(0, n)), 0.5,
+                           bounds=bounds, semantics="floor", grid_bits=10)
+    parts = [voxel_downsample(_mk(pos, inten, cls, gps, slice(a, b)), 0.5,
+                              bounds=bounds, semantics="floor",
+                              grid_bits=10, sort_tiles=8, with_aux=True,
+                              mode_runs=True)
+             for a, b in ((0, 2048), (2048, n))]
+    merged, aux = merge_voxel_batches(parts)
+    nv = int(one.count)
+    assert int(merged.count) == nv
+    np.testing.assert_array_equal(
+        np.asarray(merged.data[att.CLASSIFICATION.name])[:nv],
+        np.asarray(one.data[att.CLASSIFICATION.name])[:nv])
+    # duplicate-run summing left the totals exact
+    rt = aux["mode_runs"][att.CLASSIFICATION.name]
+    assert int(np.asarray(rt["counts"]).sum()) == n
