@@ -52,7 +52,9 @@ def main():
 
     # EXACT global merge (round 4): per-shard partials carry counts +
     # unrounded means, and the weighted merge reproduces the one-shot
-    # single-device voxelization at value level
+    # single-device voxelization at value level (add mode_runs=True to
+    # also carry full per-(voxel, value) histograms, making the mode
+    # policy's merge exact as well)
     from pasture_tpu.parallel import sharded_voxel_downsample_merged
     merged, aux = sharded_voxel_downsample_merged(
         part, mesh, 1.0, per_shard_counts=counts)
