@@ -254,9 +254,18 @@ def streaming_voxel_downsample(path: Union[str, Path], leaf_size: float,
             # exact-mode run tables share the capacity schedule: total
             # runs <= total points, and each chunk adds <= chunk_points
             # runs, so sizing by the larger of (voxels, runs) keeps the
-            # fold truncation-free (asserted below)
-            for rt in acc[1].get("mode_runs", {}).values():
-                nv = max(nv, int(rt["num_runs"]))
+            # fold truncation-free.  num_runs is being fetched anyway, so
+            # check the inductive invariant (runs fit the current table)
+            # right here — truncation mid-fold would otherwise corrupt
+            # the histogram before the final backstop assert fires
+            for n, rt in acc[1].get("mode_runs", {}).items():
+                runs_n = int(rt["num_runs"])
+                if runs_n > rt["values"].shape[0]:  # pragma: no cover
+                    raise AssertionError(
+                        f"mode run table for {n!r} overflowed mid-fold "
+                        f"({runs_n} > {rt['values'].shape[0]}) — "
+                        "capacity schedule bug")
+                nv = max(nv, runs_n)
             want = chunk_points
             while want < nv + chunk_points:
                 want <<= 1
@@ -266,6 +275,9 @@ def streaming_voxel_downsample(path: Union[str, Path], leaf_size: float,
         acc = merge_trim_fn(acc, part, acc_cap)
     if acc is None:
         raise ValueError("empty input")
+    # backstop for the inductive invariant proven at the growth branch
+    # (runs <= points <= seen <= acc_cap) — the per-growth assert above
+    # catches a violation mid-fold; this catches one after the last growth
     for n, rt in acc[1].get("mode_runs", {}).items():
         if int(rt["num_runs"]) > rt["values"].shape[0]:  # pragma: no cover
             raise AssertionError(

@@ -107,8 +107,17 @@ def merge_voxel_batches(parts: Sequence[Tuple[PointBatch, Dict]],
     ``mode_runs_cap``: static capacity for the merged run tables (default
     = the concatenated input capacity).  Merged tables report their true
     run count as ``aux["mode_runs"][n]["num_runs"]`` — if it exceeds the
-    cap the table was truncated (largest keys dropped) and later folds
-    lose exactness; callers clamping the cap should assert it on host.
+    cap the table was truncated (largest keys dropped).  Feeding a
+    TRUNCATED table into a later fold degrades ONLY the voxels whose runs
+    were dropped: the vote table is always padded with the full carried
+    key set, so row alignment with the non-mode columns holds by
+    construction (a voxel whose runs were all dropped reports mode 0 with
+    ``mode_counts`` 0 — detectable per row where ``counts`` > 0), and the
+    dropped runs simply lose their votes.  Each merged table also carries
+    ``input_truncated``, a device boolean that is True iff any input
+    table of this merge (or of an earlier fold) reported
+    ``num_runs`` beyond its capacity — assert it on host when clamping
+    ``mode_runs_cap``.
     """
     if not parts:
         raise ValueError("merge_voxel_batches needs at least one partial")
@@ -149,12 +158,14 @@ def merge_voxel_batches(parts: Sequence[Tuple[PointBatch, Dict]],
         "mode_runs" in a and all(n in a["mode_runs"] for n in mode_names)
         for _, a in parts)
     use_exact = have_runs if exact_mode is None else bool(exact_mode)
+    # with no mode columns there is nothing to merge exactly — treat
+    # exact_mode=True as a no-op instead of demanding absent run tables
+    use_exact = use_exact and bool(mode_names)
     if use_exact and not have_runs:
         raise ValueError(
             "exact_mode=True needs aux['mode_runs'] on every partial for "
             "every mode column (voxel_downsample(..., with_aux=True, "
             "mode_runs=True))")
-    use_exact = use_exact and bool(mode_names)
     mode2_vals = {n: cat([a["mode2_values"][n] for _, a in parts])
                   for n in mode_names} if have2 else {}
     mode2_cnts = {n: cat([a["mode2_counts"][n] for _, a in parts])
@@ -242,12 +253,24 @@ def merge_voxel_batches(parts: Sequence[Tuple[PointBatch, Dict]],
         if use_exact:
             # exact: vote over the complete per-(voxel, value) histograms
             # — every value's true global total is on the table, so the
-            # lexmax below IS the one-shot mode (no envelope)
+            # lexmax below IS the one-shot mode (no envelope).  The table
+            # is padded with the carried main keys at ZERO weight so its
+            # distinct valid key set equals the main key set even if an
+            # input table was truncated (num_runs > capacity): row
+            # alignment with the non-mode compaction then holds by
+            # construction, and truncation costs only the dropped votes.
             rts = [a["mode_runs"][n] for _, a in parts]
-            vote_v = cat([t["values"].astype(jnp.int32) for t in rts])
-            vote_w = cat([t["counts"].astype(jnp.int32) for t in rts])
-            vote_keys = tuple(cat([t["keys"][i] for t in rts])
+            vote_v = cat([t["values"].astype(jnp.int32) for t in rts]
+                         + [jnp.zeros_like(col)])
+            vote_w = cat([t["counts"].astype(jnp.int32) for t in rts]
+                         + [jnp.zeros_like(mw)])
+            vote_keys = tuple(cat([t["keys"][i] for t in rts] + [keys[i]])
                               for i in range(nk))
+            trunc = jnp.zeros((), bool)
+            for t in rts:
+                trunc |= jnp.any(t["num_runs"] > t["values"].shape[0])
+                if "input_truncated" in t:
+                    trunc |= jnp.any(t["input_truncated"])
         elif have2:
             w2 = jnp.where(valid_in, mode2_cnts[n].astype(jnp.int32), 0)
             vote_v = jnp.concatenate([col, mode2_vals[n].astype(jnp.int32)])
@@ -279,10 +302,15 @@ def merge_voxel_batches(parts: Sequence[Tuple[PointBatch, Dict]],
         if use_exact:
             # carry the merged histogram (summed counts per (voxel, value))
             # so a merge output is itself an exact-mode merge input: folds
-            # stay exact while the true run count fits the table capacity
-            rcols = ([jnp.where(runs, k, _INVALID_KEY) for k in sk]
-                     + [jnp.where(runs, sv, 0), jnp.where(runs, run_tot, 0)])
-            rcomp, nruns = compact_columns(rcols, runs)
+            # stay exact while the true run count fits the table capacity.
+            # Zero-total runs exist only where the alignment padding hit a
+            # voxel with no real run of that value — keep them out of the
+            # carried table (genuine runs always total >= 1)
+            runs_real = runs & (run_tot > 0)
+            rcols = ([jnp.where(runs_real, k, _INVALID_KEY) for k in sk]
+                     + [jnp.where(runs_real, sv, 0),
+                        jnp.where(runs_real, run_tot, 0)])
+            rcomp, nruns = compact_columns(rcols, runs_real)
             rn = rcomp[0].shape[0]
             rcap = rn if mode_runs_cap is None else int(mode_runs_cap)
             rvalid = jnp.arange(rn, dtype=jnp.int32) < nruns
@@ -299,6 +327,7 @@ def merge_voxel_batches(parts: Sequence[Tuple[PointBatch, Dict]],
                 "values": _fit(rcomp[nk], 0),
                 "counts": _fit(rcomp[nk + 1], 0),
                 "num_runs": nruns,
+                "input_truncated": trunc,
             }
         primary = jnp.where(runs, run_tot, -1)
         secondary = jnp.where(runs, -sv, imin)
@@ -309,7 +338,11 @@ def merge_voxel_batches(parts: Sequence[Tuple[PointBatch, Dict]],
         v2 = jnp.where(c2 > 0, -s2, 0)
         cols4, nv_mode = compact_columns([win_v, win_c, v2, c2], f2)
         mode_compacted[n] = cols4
-        # nv_mode == the main num_voxels: same distinct valid key set
+        # nv_mode == the main num_voxels BY CONSTRUCTION in every branch:
+        # the vote keys are the main keys (vote paths) or the run-table
+        # keys padded with the main keys (exact path), so both
+        # compactions see the same distinct valid key set and the
+        # key-ordered prefixes align row-for-row
         del nv_mode
 
     # ---- compact first rows to the front -----------------------------------

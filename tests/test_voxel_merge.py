@@ -441,3 +441,81 @@ def test_mode_runs_exact_under_sort_tiles(rng):
     # duplicate-run summing left the totals exact
     rt = aux["mode_runs"][att.CLASSIFICATION.name]
     assert int(np.asarray(rt["counts"]).sum()) == n
+
+
+def _chunk_cells(cells_labels, mode_runs=True):
+    """One point per (cell_x, label) entry; x = cell + 0.5 so each entry
+    lands in cell ``cell_x`` of a 1m grid."""
+    m = len(cells_labels)
+    cap = max(-(-m // 8) * 8, 8)
+    pos = np.full((m, 3), 0.5, np.float32)
+    pos[:, 0] += np.asarray([c for c, _ in cells_labels], np.float32)
+    d = {att.POSITION_3D.name:
+             jnp.asarray(np.pad(pos, [(0, cap - m), (0, 0)])),
+         att.INTENSITY.name: jnp.zeros(cap, jnp.uint16),
+         att.CLASSIFICATION.name:
+             jnp.asarray(np.pad(
+                 np.asarray([l for _, l in cells_labels], np.uint8),
+                 (0, cap - m))),
+         att.GPS_TIME.name: jnp.zeros(cap, jnp.float64)}
+    b = PointBatch(d, jnp.asarray(m, jnp.int32), SCHEMA, {})
+    return voxel_downsample(b, 1.0, semantics="floor",
+                            bounds=(jnp.zeros(3), None), with_aux=True,
+                            mode_runs=mode_runs)
+
+
+def test_mode_runs_truncated_input_stays_aligned():
+    """A TRUNCATED run table (num_runs > capacity) must not shift the
+    voxel/row alignment of a later fold: the vote table is padded with
+    the carried key set, so only the voxels whose runs were dropped lose
+    votes (detectable: mode_counts 0 with counts > 0), every other
+    column stays exact, and ``input_truncated`` flags the fold."""
+    cname = att.CLASSIFICATION.name
+    # voxel 0: labels {1:2, 2:1}; voxel 1: labels {3:2, 4:1} -> 4 runs
+    p1 = _chunk_cells([(0, 1), (0, 1), (0, 2), (1, 3), (1, 3), (1, 4)])
+    trunc = merge_voxel_batches([p1], mode_runs_cap=2)
+    rt = trunc[1]["mode_runs"][cname]
+    assert int(rt["num_runs"]) == 4 and rt["values"].shape[0] == 2
+    assert not bool(rt["input_truncated"])  # inputs were complete
+    # second chunk touches ONLY voxel 0 — before the alignment fix, the
+    # vote-side compaction then lost voxel 1 entirely and every row at or
+    # after it carried another voxel's mode
+    p2 = _chunk_cells([(0, 2), (0, 2)])
+    merged, aux = merge_voxel_batches([trunc, p2])
+    assert int(merged.count) == 2
+    np.testing.assert_array_equal(np.asarray(aux["counts"])[:2], [5, 3])
+    np.testing.assert_allclose(
+        np.asarray(merged.data[att.POSITION_3D.name])[:2, 0], [0.5, 1.5],
+        atol=1e-6)
+    # voxel 0's runs survived the cap: exact mode {1:2, 2:3} -> 2
+    assert int(np.asarray(merged.data[cname])[0]) == 2
+    assert int(np.asarray(aux["mode_counts"][cname])[0]) == 3
+    # voxel 1's runs were dropped: mode degrades to 0 votes, flagged per
+    # row (counts > 0 but mode_counts == 0) and per fold (input_truncated)
+    assert int(np.asarray(aux["mode_counts"][cname])[1]) == 0
+    assert bool(aux["mode_runs"][cname]["input_truncated"])
+    # the flag propagates through further folds
+    again, aux2 = merge_voxel_batches(
+        [(merged, aux), _chunk_cells([(0, 2)])])
+    assert bool(aux2["mode_runs"][cname]["input_truncated"])
+
+
+def test_exact_mode_without_mode_columns_is_noop(rng):
+    """exact_mode=True on a schema with no mode-policy columns merges
+    fine (nothing to merge exactly) instead of demanding run tables."""
+    schema = PointSchema.from_attributes([att.POSITION_3D])
+    def chunk(x):
+        pos = np.full((4, 3), 0.25, np.float32)
+        pos[:, 0] += x
+        cap = 8
+        d = {att.POSITION_3D.name:
+                 jnp.asarray(np.pad(pos, [(0, cap - 4), (0, 0)]))}
+        b = PointBatch(d, jnp.asarray(4, jnp.int32), schema, {})
+        return voxel_downsample(b, 1.0, semantics="floor",
+                                bounds=(jnp.zeros(3), None), with_aux=True)
+    merged, aux = merge_voxel_batches([chunk(0.0), chunk(0.5)],
+                                      exact_mode=True)
+    assert int(merged.count) == 1
+    assert int(np.asarray(aux["counts"])[0]) == 8
+    np.testing.assert_allclose(
+        np.asarray(merged.data[att.POSITION_3D.name])[0, 0], 0.5, atol=1e-6)
