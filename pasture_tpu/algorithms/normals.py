@@ -118,7 +118,8 @@ def _normals_device(pos: jnp.ndarray, valid: jnp.ndarray, k: int,
 
 def _normals_scan_exact(pos: jnp.ndarray, valid: jnp.ndarray, k: int,
                         query_tile: int = 1024, chunk: int = 8192,
-                        queries: Optional[jnp.ndarray] = None):
+                        queries: Optional[jnp.ndarray] = None,
+                        pass1_merge: str = "registers"):
     """EXACT k-NN normals at any N — MXU distance tiles with a CERTIFIED
     Morton-block prefilter (reference kd-tree parity at scale,
     normal_estimation.rs:79-484; removes the ~64k cap of
@@ -242,23 +243,85 @@ def _normals_scan_exact(pos: jnp.ndarray, valid: jnp.ndarray, k: int,
                       precision=jax.lax.Precision.HIGHEST))
             return jnp.where(bv[None, :], d2, big), (bx, by, bz)
 
-        # ---- pass 1: certified top-k ------------------------------------
-        def cond1(state):
+        # ---- pass 1: certified k-th distances ---------------------------
+        # the merge keeps, per query, the k smallest distances over every
+        # visited block.  XLA's TopK custom call costs ~1 ms per
+        # (1024, 8192) visit on this backend (~80% of the whole exact
+        # run, measured round 5 — artifacts/xprof_normals_r5), so the
+        # default merge is pure VPU work instead: k sorted per-LANE
+        # min-registers bubble the block's 128-column strips in, then a
+        # butterfly of lane rolls merges the 128 per-lane lists so every
+        # lane holds the row's exact k smallest (the roll-and-merge
+        # k-selection; each merge of two sorted k-lists is the
+        # triangular k(k+1)/2 compare-exchange network).  Bit-identical
+        # thresholds to the top_k formulation (values only, ties
+        # included), ~20x cheaper.
+        lanes = 128
+        strips = chunk // lanes
+
+        def _bubble(regs, v, start=0):
+            regs = list(regs)
+            for i in range(start, len(regs)):
+                lo = jnp.minimum(regs[i], v)
+                v = jnp.maximum(regs[i], v)
+                regs[i] = lo
+            return regs
+
+        def body1_regs(state):
+            j = state[0]
+            regs = list(state[2:])
+            d2, _ = load(j)
+            v3 = d2.reshape(query_tile, strips, lanes)
+            for s in range(strips):
+                regs = _bubble(regs, v3[:, s, :])
+            # the CARRIED regs stay per-lane (disjoint multisets — every
+            # entry came from a distinct (block, strip) slot of its own
+            # lane); the butterfly merges into a TEMPORARY only.  Keeping
+            # the merged lists as state would replicate the global top-k
+            # into all 128 lanes and the next round's merge would count
+            # each value up to 128 times, collapsing the k-th threshold
+            # (the bug the first multi-block run hit).
+            m = list(regs)
+            sh = 1
+            while sh < lanes:
+                part = [jnp.roll(r, sh, axis=1) for r in m]
+                for jv in range(k):
+                    # partner's j-th smallest lands at merged index >= j
+                    m = _bubble(m, part[jv], start=jv)
+                sh <<= 1
+            # post-merge every lane holds the row's exact k smallest
+            thr = jnp.min(m[k - 1], axis=1)
+            return (j + 1, thr, *regs)
+
+        def cond1_regs(state):
+            j = state[0]
+            return (j < nblocks) & (slb[j] <= jnp.max(state[1]))
+
+        def cond1_topk(state):
             j, run_d = state
             worst = jnp.max(run_d[:, -1])
             return (j < nblocks) & (slb[j] <= worst)
 
-        def body1(state):
+        def body1_topk(state):
             j, run_d = state
             d2, _ = load(j)
             merged = -jax.lax.top_k(
                 -jnp.concatenate([run_d, d2], axis=1), k)[0]
             return j + 1, merged
 
-        run0 = jnp.full((query_tile, k), big, dtype)
-        visited, run_d = jax.lax.while_loop(
-            cond1, body1, (jnp.asarray(0, jnp.int32), run0))
-        thr = run_d[:, -1]
+        if pass1_merge == "registers":
+            regs0 = tuple(jnp.full((query_tile, lanes), big, dtype)
+                          for _ in range(k))
+            thr0 = jnp.full((query_tile,), big, dtype)
+            out1 = jax.lax.while_loop(
+                cond1_regs, body1_regs,
+                (jnp.asarray(0, jnp.int32), thr0, *regs0))
+            thr = out1[1]
+        else:
+            run0 = jnp.full((query_tile, k), big, dtype)
+            _, run_d = jax.lax.while_loop(
+                cond1_topk, body1_topk, (jnp.asarray(0, jnp.int32), run0))
+            thr = run_d[:, -1]
         thr_max = jnp.max(thr)
 
         # ---- pass 2: moments over the same certified prefix -------------

@@ -369,3 +369,32 @@ def test_scan_exact_normals_at_scale(rng):
     analytic /= np.linalg.norm(analytic, axis=1, keepdims=True)
     adot = np.abs(np.sum(nrm * analytic, axis=1))
     assert (adot > np.cos(np.deg2rad(10.0))).mean() > 0.97
+
+
+def test_scan_exact_register_merge_matches_topk(rng):
+    """The pass-1 k-register/butterfly merge (round 5: replaces XLA's
+    TopK custom call, ~80% of the exact runtime on TPU) must be
+    BIT-identical to the top_k formulation — critically across MULTIPLE
+    target blocks: the carried per-lane registers must stay disjoint
+    multisets (merging into the carry would replicate the global top-k
+    into every lane and collapse the k-th threshold on the next round —
+    the bug this test pins)."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from pasture_tpu.algorithms.normals import _normals_scan_exact
+
+    n = 1 << 14          # chunk=8192 -> 2 target blocks
+    u = rng.uniform(-80, 80, (n, 2))
+    z = 0.3 * np.sin(u[:, 0] * 0.5) + 0.2 * np.cos(u[:, 1] * 0.8)
+    pos = jnp.asarray(np.stack([u[:, 0], u[:, 1], z], axis=1), jnp.float32)
+    valid = jnp.asarray(np.arange(n) < n - 13)
+    q = pos[:2048]
+    a = jax.jit(_normals_scan_exact, static_argnums=(2,))(
+        pos, valid, 8, queries=q)
+    b = jax.jit(partial(_normals_scan_exact, pass1_merge="topk"),
+                static_argnums=(2,))(pos, valid, 8, queries=q)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
