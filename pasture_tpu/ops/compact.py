@@ -30,6 +30,11 @@ from .segscan import _dshift_up, _match_vma
 
 __all__ = ["compact_columns", "pack_int_columns", "unpack_int_columns"]
 
+# probe override for the sequential tile-merge unroll factor (None =
+# auto: 8 tiles per fori_loop step, the round-4 measured choice) — see
+# benches/reduce_block_probe.py
+_MERGE_UNROLL = None
+
 
 def pack_int_columns(cols: Sequence[jnp.ndarray]):
     """Greedily pack narrow (<=16-bit) integer 1-D columns into shared u32
@@ -247,6 +252,7 @@ def _merge_tiles(vals2, cnt, keep, n, l):
     count = jnp.sum(cnt)
     offs = _cumsum_jump(cnt) - cnt
     ref = keep[:1]
+    unroll_override = _MERGE_UNROLL
 
     four = [i for i, v in enumerate(vals2)
             if jnp.dtype(v.dtype).itemsize == 4]
@@ -260,7 +266,8 @@ def _merge_tiles(vals2, cnt, keep, n, l):
     out_stk = (_match_vma(ref, jnp.zeros((g, n + l), jnp.int32))
                if four else None)
 
-    unroll = next((u for u in (8, 4, 2, 1) if t % u == 0), 1)
+    cands = (unroll_override,) if unroll_override else (8, 4, 2, 1)
+    unroll = next((u for u in cands if t % u == 0), 1)
 
     def merge(i, state):
         out_stk, outs_rest = state
