@@ -156,7 +156,13 @@ def _normals_scan_exact(pos: jnp.ndarray, valid: jnp.ndarray, k: int,
     (default: every row of ``pos``) — lets hosts slice very large clouds
     into bounded device executions (compute_normals does this above
     ~256k so a single call never runs long enough to trip remote-worker
-    execution deadlines)."""
+    execution deadlines).
+
+    ``pass1_merge``: ``"registers"`` (default) selects the k smallest
+    distances per query with per-lane min-registers + a butterfly lane
+    merge — pure VPU work, ~3x faster than ``"topk"`` (XLA's TopK custom
+    call, ~1 ms per block visit on v5e — the round-4 bottleneck), with
+    bit-identical thresholds (regression-tested)."""
     from ..math.morton import morton_encode_dual32
 
     qpos = pos if queries is None else queries
