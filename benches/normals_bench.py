@@ -50,11 +50,23 @@ def main() -> None:
     overhead = time.perf_counter() - t0
 
     dt = max(best - overhead, 1e-9)
+    # numeric guard (round-4 lesson: verify device numerics, not just
+    # liveness): the fitted normals must track the analytic surface —
+    # a wrong-result Pallas window kernel fails the bench here
+    an = np.stack([-0.4 * 0.7 * np.cos(xy[:, 0] * 0.7),
+                   0.3 * 0.5 * np.sin(xy[:, 1] * 0.5),
+                   np.ones(N)], axis=1)
+    an /= np.linalg.norm(an, axis=1, keepdims=True)
+    dot = np.abs(np.sum(np.asarray(normals) * an, axis=1))
+    frac6 = float((dot > np.cos(np.deg2rad(6.0))).mean())
+    assert frac6 > 0.99, f"device window normals diverge from the " \
+        f"analytic surface: {frac6:.4f} within 6 degrees"
     print(json.dumps({
         "metric": "normals_morton_window_throughput",
         "value": round(N / dt / 1e6, 2),
         "unit": "Mpoints/s/chip",
         "n": N, "k": K, "window": WINDOW,
+        "frac_within_6deg": round(frac6, 5),
     }))
 
 

@@ -93,8 +93,12 @@ def _eigh3_smallest(cov: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
                    precision=jax.lax.Precision.HIGHEST)
     norms = jnp.linalg.norm(m, axis=-2)
     best = jnp.argmax(norms, axis=-1)
-    vec = jnp.take_along_axis(
-        m, best[..., None, None].repeat(3, axis=-2), axis=-1)[..., 0]
+    # column pick by SELECT, not take_along_axis: tiny-axis gathers lower
+    # to element loops on this backend (~10 ms per 2M-row fusion,
+    # measured round 5) while three selects fuse for free
+    vec = jnp.where((best == 0)[..., None], m[..., 0],
+                    jnp.where((best == 1)[..., None], m[..., 1],
+                              m[..., 2]))
     nrm = jnp.linalg.norm(vec, axis=-1, keepdims=True)
     # degenerate (isotropic) neighbourhoods: fall back to +z like a plane
     fallback = jnp.zeros_like(vec).at[..., 2].set(1.0)
@@ -385,6 +389,11 @@ def _normals_scan_exact(pos: jnp.ndarray, valid: jnp.ndarray, k: int,
     return jnp.stack([nx, ny, nz], axis=1), cvv
 
 
+#: tests may force the Pallas window-fit kernel on/off (None = auto:
+#: real accelerator only — interpret mode is too slow for production)
+_FORCE_WINDOW_KERNEL = None
+
+
 def window_fit(sp: jnp.ndarray, pp: jnp.ndarray, k: int, w: int):
     """Plane-fit each row of ``sp`` (N, 3) against the ±``w`` window of the
     PADDED Morton-sorted array ``pp`` ((N + 2w, 3); row ``i`` of ``sp``
@@ -401,6 +410,39 @@ def window_fit(sp: jnp.ndarray, pp: jnp.ndarray, k: int, w: int):
     dtype = sp.dtype
     big = jnp.asarray(jnp.inf, dtype)
     shifts = list(range(-w, w + 1))
+
+    # blockwise Pallas fast path: both passes run in VMEM (the XLA
+    # formulation below re-streams every accumulator through HBM once
+    # per shift — measured ~50x the compute bound at 2M/w=64, round 5).
+    # Same selection decisions; moments accumulate in the query frame
+    # (shift-invariant covariance, better conditioned at survey
+    # coordinates than the raw second moments below).
+    from ..ops.kernels.window_fit_kernel import (supports_window_fit,
+                                                 window_fit_moments_pallas)
+    use_kernel = (
+        (_FORCE_WINDOW_KERNEL if _FORCE_WINDOW_KERNEL is not None
+         else jax.default_backend() != "cpu")
+        and supports_window_fit(n, w, dtype) and pp.shape[0] == n + 2 * w)
+    if use_kernel:
+        cnt, tight_sum, s1, m6 = window_fit_moments_pallas(sp, pp, k, w)
+        c = jnp.maximum(cnt, 1.0)
+        mu = s1 / c[:, None]
+        tight = tight_sum / c
+        mm = m6 / c[:, None]
+        xx = mm[:, 0] - mu[:, 0] * mu[:, 0]
+        yy = mm[:, 1] - mu[:, 1] * mu[:, 1]
+        zz = mm[:, 2] - mu[:, 2] * mu[:, 2]
+        xy = mm[:, 3] - mu[:, 0] * mu[:, 1]
+        xz = mm[:, 4] - mu[:, 0] * mu[:, 2]
+        yz = mm[:, 5] - mu[:, 1] * mu[:, 2]
+        cov = jnp.stack([
+            jnp.stack([xx, xy, xz], axis=-1),
+            jnp.stack([xy, yy, yz], axis=-1),
+            jnp.stack([xz, yz, zz], axis=-1)], axis=-2)
+        lam0, normal = _eigh3_smallest(cov)
+        tr = jnp.trace(cov, axis1=-2, axis2=-1)
+        curvature = jnp.where(tr != 0.0, jnp.abs(lam0 / tr), 0.0)
+        return normal, curvature, tight
 
     def shift_d2(s):
         q = jax.lax.dynamic_slice_in_dim(pp, w + s, n, axis=0)

@@ -546,3 +546,45 @@ def test_voxel_pipeline_with_pallas_tile_sort(rng):
         np.testing.assert_allclose(np.asarray(a.data[name])[:nv],
                                    np.asarray(b.data[name])[:nv],
                                    atol=1e-5, err_msg=name)
+
+
+def test_window_fit_moments_kernel_matches_oracle(rng):
+    """Blockwise window-fit kernel (round 5): selected-neighbourhood
+    moments equal a numpy sliding-window oracle — selection (k-th
+    smallest threshold, ties, finite guard) and query-frame sums, across
+    a block boundary and with invalid (inf) candidates."""
+    import numpy as np
+
+    from pasture_tpu.ops.kernels.window_fit_kernel import (
+        WINDOW_BLOCK, window_fit_moments_pallas)
+
+    k, w = 4, 8
+    n = WINDOW_BLOCK + WINDOW_BLOCK // 2          # 2 blocks, padded tail
+    pos = rng.uniform(0, 30, (n, 3)).astype(np.float32)
+    validc = rng.random(n) > 0.02                 # some invalid candidates
+    ppc = np.where(validc[:, None], pos, np.inf).astype(np.float32)
+    pp = np.concatenate([np.full((w, 3), np.inf, np.float32), ppc,
+                         np.full((w, 3), np.inf, np.float32)])
+
+    cnt, tight, s, m6 = window_fit_moments_pallas(
+        jnp.asarray(pos), jnp.asarray(pp), k=k, w=w, interpret=True)
+
+    win = np.lib.stride_tricks.sliding_window_view(
+        pp, 2 * w + 1, axis=0)                    # (n, 3, 2w+1)
+    d = win - pos[:, :, None]
+    d2 = np.einsum("nci,nci->ni", d, d)           # inf for invalid cands
+    thr = np.sort(d2, axis=1)[:, k - 1]
+    sel = (d2 <= thr[:, None]) & np.isfinite(win[:, 0, :])
+    np.testing.assert_array_equal(np.asarray(cnt),
+                                  sel.sum(axis=1).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(tight),
+                               np.where(sel, d2, 0).sum(axis=1),
+                               rtol=1e-5, atol=1e-4)
+    dq = np.where(sel[:, None, :], d, 0.0)
+    np.testing.assert_allclose(np.asarray(s), dq.sum(axis=2),
+                               rtol=1e-5, atol=1e-4)
+    pairs = [(0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2)]
+    ref_m6 = np.stack([(dq[:, a, :] * dq[:, b, :]).sum(axis=1)
+                       for a, b in pairs], axis=1)
+    np.testing.assert_allclose(np.asarray(m6), ref_m6, rtol=1e-4,
+                               atol=1e-3)
